@@ -1,38 +1,178 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Engine: glug_spark — PySpark-native inverted-index + BM25 full-text
+engine with glug (reference) pattern/filter semantics. See SURVEY.md §2.3
+for the operator key list.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from glug_spark import corpus
+from glug_spark.index import build as ib
+from glug_spark.query import bm25
+from glug_spark.operators import pathfilter
+
+SF0001 = "/root/testdata/sf0.001"
+
+# --- fixed query set (terms exist in the Zipf vocabulary) --------------
+Q_SINGLE = ["data"]
+Q_AND = ["data", "join"]
+Q_OR = ["table", "scan", "merge"]
+Q_GLOB = "dat*"
+Q_PHRASE = ["table", "scan"]
+SELECT_EXPR = "*.html,*.md,-doc1*.html"
+TYPETAG_EXPR = "#cpp,-#hpp"
+IGNORE_RULES = ["*.txt", "!doc42.txt", "doc9*.py"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.load(spark, sf_dir, "documents")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a multi-term query on sf0.001."""
+    return bm25.bm25_topk(_docs(spark, SF0001), Q_OR, k=10)
+
+
+# --- query implementations ---------------------------------------------
+
+def _q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ib.tokens(_docs(spark, sf_dir))
+
+
+def _q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ib.doc_lengths(_docs(spark, sf_dir))
+
+
+def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ib.postings(_docs(spark, sf_dir))
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ib.term_stats(ib.postings(_docs(spark, sf_dir)))
+
+
+def _q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ib.collection_stats(_docs(spark, sf_dir))
+
+
+def _q_bm25_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25.bm25_topk(_docs(spark, sf_dir), Q_SINGLE, k=10)
+
+
+def _q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25.bm25_topk(_docs(spark, sf_dir), Q_AND, k=10, conjunctive=True)
+
+
+def _q_bm25_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25.bm25_topk(_docs(spark, sf_dir), Q_OR, k=100)
+
+
+def _q_bm25_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25.bm25_glob_topk(_docs(spark, sf_dir), Q_GLOB, k=10)
+
+
+def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25.phrase_docs(_docs(spark, sf_dir), Q_PHRASE)
+
+
+def _paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(corpus.path_sql()).alias("path")
+    )
+
+
+def _q_selectfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filt = pathfilter.compile_select(SELECT_EXPR)
+    df = _paths(spark, sf_dir)
+    return df.select(
+        "doc_id", "path",
+        pathfilter.decision_col(filt, F.col("path")).alias("decision"),
+    )
+
+
+def _q_typetag_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filt = pathfilter.compile_select(TYPETAG_EXPR)
+    df = _paths(spark, sf_dir)
+    return df.select(
+        "doc_id", "path",
+        pathfilter.decision_col(filt, F.col("path")).alias("decision"),
+    )
+
+
+def _q_ignore_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glug_spark.semantics.filters import IgnoreFilter, SelectFilter
+
+    ignore = IgnoreFilter(IGNORE_RULES, "site")
+    select = SelectFilter("", "site")
+    df = _paths(spark, sf_dir)
+    return df.where(
+        pathfilter.admission_col(select, [ignore], F.col("path"))
+    ).select("doc_id", "path")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tokenize": _q_tokenize,
+        "doc_lengths": _q_doc_lengths,
+        "postings_build": _q_postings,
+        "term_stats": _q_term_stats,
+        "collection_stats": _q_collection_stats,
+        "bm25_single": _q_bm25_single,
+        "bm25_and": _q_bm25_and,
+        "bm25_or": _q_bm25_or,
+        "bm25_glob": _q_bm25_glob,
+        "phrase_match": _q_phrase,
+        "selectfilter": _q_selectfilter,
+        "typetag_select": _q_typetag_select,
+        "ignore_admission": _q_ignore_admission,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _select_oracle(expression: str) -> str:
+    filt = pathfilter.compile_select(expression)
+    decision = pathfilter.decision_sql(filt, "path")
+    return f"""
+WITH paths AS (SELECT doc_id, {corpus.path_sql()} AS path FROM documents)
+SELECT doc_id, path, {decision} AS decision FROM paths
+"""
+
+
+def _ignore_oracle() -> str:
+    from glug_spark.semantics.filters import IgnoreFilter
+
+    ignore = IgnoreFilter(IGNORE_RULES, "site")
+    decision = pathfilter.decision_sql(ignore, "path")
+    return f"""
+WITH paths AS (SELECT doc_id, {corpus.path_sql()} AS path FROM documents)
+SELECT doc_id, path FROM paths
+WHERE ({decision}) <> 'excluded'
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = ib.TOKENS_SQL
+    return {
+        "tokenize": f"SELECT doc_id, CAST(pos AS INT) AS pos, term FROM ({tok})",
+        "doc_lengths": ib.DOC_LENGTHS_SQL,
+        "postings_build": ib.POSTINGS_SQL,
+        "term_stats": ib.TERM_STATS_SQL,
+        "collection_stats": ib.COLLECTION_STATS_SQL,
+        "bm25_single": bm25.bm25_topk_sql(Q_SINGLE, k=10),
+        "bm25_and": bm25.bm25_topk_sql(Q_AND, k=10, conjunctive=True),
+        "bm25_or": bm25.bm25_topk_sql(Q_OR, k=100),
+        "bm25_glob": bm25.bm25_glob_topk_sql(Q_GLOB, k=10),
+        "phrase_match": bm25.phrase_docs_sql(Q_PHRASE),
+        "selectfilter": _select_oracle(SELECT_EXPR),
+        "typetag_select": _select_oracle(TYPETAG_EXPR),
+        "ignore_admission": _ignore_oracle(),
+    }

@@ -1,0 +1,39 @@
+"""SparkSession factory tuned for the engine's workload.
+
+Scale posture: these configs are what we'd ship to a 1000-executor
+cluster (AQE on, skew-join on, partition coalescing on); the parallelism
+and shuffle-partition counts are the only knobs that change with cluster
+size, so they are parameters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "glug_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: ~1 shuffle partition per core keeps task overhead low;
+        # on a real cluster this would be sized to data volume instead.
+        shuffle_partitions = max(8, cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
