@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark harness — index build throughput + query latency.
+
+Default run (what the driver executes per round):
+    python bench.py
+        reads $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+        local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+        {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+         "queries": {...per-query sec...}, "sf": <sf>,
+         "build_sec": ..., "docs_per_sec": ..., "n_docs": ...}
+
+Scaling protocol (BASELINE.md: efficiency ≥ 0.8 from N to 4N):
+    python bench.py --scaling
+        runs the identical build+query job at local[8] and local[32]
+        (same input, same seed) in fresh subprocesses and reports
+        throughput at both plus efficiency = (thr_32 / thr_8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: headline queries: name → callable(spark, sf_dir) (from the driver contract)
+HEADLINE = [
+    "bm25_single",
+    "bm25_and",
+    "bm25_or",
+    "bm25_glob",
+    "phrase_match",
+    "selectfilter",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_once(cpus: int, sf_dir: str) -> dict:
+    from glug_spark.session import get_spark
+    from glug_spark.index.pipeline import build_index
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("glug_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(8, cpus))
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()  # warm-up + size
+
+        out_dir = tempfile.mkdtemp(prefix="glug_index_")
+        try:
+            t0 = time.perf_counter()
+            build_index(spark, sf_dir, out_dir)
+            build_sec = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+        queries = entrymod.queries()
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+
+        total = round(sum(timings.values()), 4)
+        return {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_from_dir(sf_dir),
+            "build_sec": round(build_sec, 4),
+            "docs_per_sec": round(n_docs / build_sec, 2) if build_sec else None,
+            "n_docs": n_docs,
+            "cpus": cpus,
+        }
+    finally:
+        spark.stop()
+
+
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    """Same job, two parallelism levels, fresh JVM each (sandbox protocol
+    for the N→4N executor-scaling criterion; see BASELINE.md)."""
+    results = {}
+    for cpus in (low, high):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--once", str(cpus)],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            check=True,
+        )
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thr_low = results[low]["docs_per_sec"]
+    thr_high = results[high]["docs_per_sec"]
+    q_low = results[low]["value"]
+    q_high = results[high]["value"]
+    return {
+        "metric": "scaling_efficiency_build",
+        "value": round((thr_high / thr_low) / (high / low), 4),
+        "unit": "ratio",
+        "sf": _sf_from_dir(sf_dir),
+        "low_cpus": low,
+        "high_cpus": high,
+        "docs_per_sec": {str(low): thr_low, str(high): thr_high},
+        "query_total_sec": {str(low): q_low, str(high): q_high},
+        "query_speedup": round(q_low / q_high, 4) if q_high else None,
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args[:1] == ["--once"]:
+        print(json.dumps(run_once(int(args[1]), SF_DIR)))
+    elif args[:1] == ["--scaling"]:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_once(CPUS, SF_DIR)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Codec round-trip + property tests (hypothesis) — no Spark needed."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from glug_spark.index import codec
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert np.array_equal(codec.varbyte_decode(codec.varbyte_encode(arr)), arr)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300, unique=True)
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(ids):
+    arr = np.sort(np.array(ids, dtype=np.uint64))
+    assert np.array_equal(codec.delta_decode(codec.delta_encode(arr)), arr)
+
+
+def test_varbyte_sizes():
+    assert codec.varbyte_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert codec.varbyte_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert codec.varbyte_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    # compression sanity: small gaps ≪ 8 bytes/posting
+    gaps = np.ones(1000, dtype=np.uint64)
+    assert len(codec.varbyte_encode(gaps)) == 1000
+
+
+def test_positions_roundtrip():
+    per_doc = [np.array([0, 5, 9], dtype=np.uint64),
+               np.array([], dtype=np.uint64),
+               np.array([3], dtype=np.uint64)]
+    blob = codec.encode_positions(per_doc)
+    tfs = np.array([3, 0, 1])
+    out = codec.decode_positions(blob, tfs)
+    for a, b in zip(per_doc, out):
+        assert np.array_equal(a, b)
+
+
+def test_block_meta():
+    ids = np.arange(0, 300, dtype=np.int64)
+    tfs = np.ones(300, dtype=np.int64)
+    tfs[129] = 7
+    last, max_tf = codec.block_meta(ids, tfs, block=128)
+    assert list(last) == [127, 255, 299]
+    assert list(max_tf) == [1, 7, 1]
+
+
+def test_encode_decode_segment():
+    rng = np.random.default_rng(42)
+    doc_ids = np.sort(rng.choice(10**9, size=500, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 50, size=500).astype(np.int64)
+    dls = rng.integers(10, 500, size=500).astype(np.int64)
+    enc = codec.encode_segment(doc_ids, tfs, dls)
+    d2, t2, l2 = codec.decode_segment(enc)
+    assert np.array_equal(doc_ids, d2)
+    assert np.array_equal(tfs, t2)
+    assert np.array_equal(dls, l2)
+    assert enc["df_local"] == 500
+    # delta+varbyte beats raw 8-byte ids
+    assert len(enc["doc_gaps"]) < 500 * 8
+
+
+def test_decode_blocks_selective():
+    rng = np.random.default_rng(7)
+    n = 1000
+    doc_ids = np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 9, size=n).astype(np.int64)
+    dls = rng.integers(10, 500, size=n).astype(np.int64)
+    enc = codec.encode_segment(doc_ids, tfs, dls)
+    n_blocks = len(enc["gap_offsets"])
+    assert n_blocks == (n + codec.BLOCK - 1) // codec.BLOCK
+
+    for blocks in ([0], [n_blocks - 1], [1, 3], list(range(n_blocks))):
+        ids, t, l = codec.decode_blocks(enc, np.array(blocks))
+        expect = np.concatenate(
+            [doc_ids[b * codec.BLOCK : (b + 1) * codec.BLOCK] for b in blocks]
+        )
+        assert np.array_equal(ids, expect), blocks
+        assert np.array_equal(
+            t, np.concatenate([tfs[b * codec.BLOCK : (b + 1) * codec.BLOCK] for b in blocks])
+        )
+        assert np.array_equal(
+            l, np.concatenate([dls[b * codec.BLOCK : (b + 1) * codec.BLOCK] for b in blocks])
+        )
