@@ -39,6 +39,7 @@ from glug_spark.index import codec
 from glug_spark.index.build import token_array
 
 ENCODED_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType()),
     T.StructField("term", T.StringType()),
     T.StructField("segment", T.LongType()),
     T.StructField("df_local", T.LongType()),
@@ -55,30 +56,37 @@ ENCODED_SCHEMA = T.StructType([
 
 
 def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas worker: one (term, segment) → one encoded row."""
-    term = pdf["term"].iloc[0]
+    """applyInPandas worker: one (bucket, segment) → one encoded row per
+    term. Grouping at bucket granularity (not per-term) keeps the number
+    of Arrow exchanges at n_buckets × n_segments instead of
+    |vocab| × n_segments — per-term work is a NumPy inner loop."""
+    bucket = int(pdf["bucket"].iloc[0])
     segment = int(pdf["segment"].iloc[0])
-    positions = [np.asarray(p, dtype=np.uint64) for p in pdf["positions"]]
-    enc = codec.encode_segment(
-        pdf["doc_id"].to_numpy(),
-        pdf["tf"].to_numpy(),
-        pdf["dl"].to_numpy(),
-        positions,
-    )
-    return pd.DataFrame([{
-        "term": term,
-        "segment": segment,
-        "df_local": enc["df_local"],
-        "doc_gaps": enc["doc_gaps"],
-        "tfs": enc["tfs"],
-        "dls": enc["dls"],
-        "positions": enc["positions"],
-        "block_last": enc["block_last"],
-        "block_max_tf": enc["block_max_tf"],
-        "gap_offsets": enc["gap_offsets"],
-        "tf_offsets": enc["tf_offsets"],
-        "dl_offsets": enc["dl_offsets"],
-    }])
+    rows = []
+    for term, g in pdf.groupby("term", sort=False):
+        positions = [np.asarray(p, dtype=np.uint64) for p in g["positions"]]
+        enc = codec.encode_segment(
+            g["doc_id"].to_numpy(),
+            g["tf"].to_numpy(),
+            g["dl"].to_numpy(),
+            positions,
+        )
+        rows.append({
+            "bucket": bucket,
+            "term": term,
+            "segment": segment,
+            "df_local": enc["df_local"],
+            "doc_gaps": enc["doc_gaps"],
+            "tfs": enc["tfs"],
+            "dls": enc["dls"],
+            "positions": enc["positions"],
+            "block_last": enc["block_last"],
+            "block_max_tf": enc["block_max_tf"],
+            "gap_offsets": enc["gap_offsets"],
+            "tf_offsets": enc["tf_offsets"],
+            "dl_offsets": enc["dl_offsets"],
+        })
+    return pd.DataFrame(rows)
 
 
 def bucket_col(term_col: str = "term", n_buckets: int = 16) -> F.Column:
@@ -90,7 +98,7 @@ def build_index(
     sf_dir: str,
     out_dir: str,
     n_buckets: int = 16,
-    n_segments: int = 32,
+    n_segments: int | None = None,
     resume: bool = False,
 ) -> dict:
     """Build the full index; returns the counter summary dict."""
@@ -101,6 +109,11 @@ def build_index(
         F.count(F.lit(1)).alias("n_docs"),
     ).collect()[0]
     lo, hi, n_docs = bounds["lo"], bounds["hi"], bounds["n_docs"]
+    if n_segments is None:
+        # ~1k docs per segment, capped — at web scale segments are what
+        # fan head-term encoding out across tasks; locally fewer segments
+        # avoid per-group overhead on tiny corpora.
+        n_segments = max(1, min(4096, n_docs // 1024))
     seg_size = max(1, (hi - lo + n_segments) // n_segments)
 
     done_buckets: set[int] = set()
@@ -129,10 +142,8 @@ def build_index(
     if done_buckets:
         postings = postings.where(~F.col("bucket").isin(list(done_buckets)))
 
-    encoded = (
-        postings.groupBy("term", "segment")
-        .applyInPandas(_encode_group, schema=ENCODED_SCHEMA)
-        .withColumn("bucket", bucket_col(n_buckets=n_buckets))
+    encoded = postings.groupBy("bucket", "segment").applyInPandas(
+        _encode_group, schema=ENCODED_SCHEMA
     )
     (
         encoded.write.mode("append" if done_buckets else "overwrite")
