@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from glug_spark import corpus
 from glug_spark.index import build as ib
 from glug_spark.query import bm25
-from glug_spark.operators import pathfilter
+from glug_spark.operators import (
+    dedup,
+    multimodal,
+    pathfilter,
+    relational,
+    similarity,
+    textstats,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -120,8 +127,28 @@ def _q_ignore_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "path")
 
 
+def _q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical extraction invariant: wrap text in the HTML template,
+    extract it back natively, compare to the original."""
+    docs = corpus.webtext(spark, sf_dir)
+    page = F.decode(F.col("html"), "UTF-8")
+    prefix_len = (
+        F.length(F.lit("<html><head><title>")) + F.length("url")
+        + F.length(F.lit("</title></head><body><pre>"))
+    )
+    suffix_len = F.length(F.lit("</pre></body></html>"))
+    extracted = F.substring(
+        page, (prefix_len + 1).cast("int"),
+        (F.length(page) - prefix_len - suffix_len).cast("int"),
+    )
+    return docs.select(
+        "doc_id", (extracted == F.col("text")).alias("is_identical")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # core index/query path
         "tokenize": _q_tokenize,
         "doc_lengths": _q_doc_lengths,
         "postings_build": _q_postings,
@@ -132,9 +159,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": _q_bm25_or,
         "bm25_glob": _q_bm25_glob,
         "phrase_match": _q_phrase,
+        # glug filter semantics over paths
         "selectfilter": _q_selectfilter,
         "typetag_select": _q_typetag_select,
         "ignore_admission": _q_ignore_admission,
+        # extraction invariant
+        "extract_roundtrip": _q_extract_roundtrip,
+        # dedup family
+        "dedup_exact": lambda s, d: dedup.exact_groups(_docs(s, d)),
+        "minhash_bands": lambda s, d: dedup.minhash_bands(_docs(s, d)),
+        "dup_pairs_minhash": lambda s, d: dedup.dup_pairs_minhash(_docs(s, d)),
+        "jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_docs(s, d)),
+        "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        # similarity search
+        "cosine_topk": lambda s, d: similarity.cosine_topk(
+            corpus.load(s, d, "embeddings")
+        ),
+        "ivf_topk": lambda s, d: similarity.ivf_topk(
+            corpus.load(s, d, "embeddings")
+        ),
+        # text analysis
+        "token_count": lambda s, d: textstats.token_count(_docs(s, d)),
+        "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
+        "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
+        "fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
+        "winnow_fingerprints": lambda s, d: textstats.winnow_fingerprints(
+            _docs(s, d)
+        ),
+        # multimodal plumbing
+        "media_metadata": lambda s, d: multimodal.media_metadata(_docs(s, d)),
+        "media_features": lambda s, d: multimodal.extract_features(
+            multimodal.media_table(_docs(s, d))
+        ),
+        # generic relational coverage
+        "pricing_summary": relational.pricing_summary,
+        "top_customers": relational.top_customers,
+        "user_event_ranks": relational.user_event_ranks,
+        "hourly_event_rollup": relational.hourly_event_rollup,
+        "event_type_setops": relational.event_type_setops,
     }
 
 
@@ -159,6 +221,22 @@ WHERE ({decision}) <> 'excluded'
 """
 
 
+EXTRACT_ROUNDTRIP_SQL = f"""
+WITH w AS ({corpus.WEBTEXT_SQL})
+SELECT doc_id,
+       substring(
+           page,
+           length('<html><head><title>') + length(url)
+               + length('</title></head><body><pre>') + 1,
+           length(page)
+               - (length('<html><head><title>') + length(url)
+                  + length('</title></head><body><pre>'))
+               - length('</pre></body></html>')
+       ) = text AS is_identical
+FROM w
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tok = ib.TOKENS_SQL
     return {
@@ -175,4 +253,25 @@ def oracle_sql() -> dict[str, str]:
         "selectfilter": _select_oracle(SELECT_EXPR),
         "typetag_select": _select_oracle(TYPETAG_EXPR),
         "ignore_admission": _ignore_oracle(),
+        "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
+        "dedup_exact": dedup.EXACT_GROUPS_SQL,
+        "minhash_bands": dedup.minhash_bands_sql()
+        + " ORDER BY doc_id, band_id",
+        "dup_pairs_minhash": dedup.dup_pairs_minhash_sql(),
+        "jaccard_pairs": dedup.jaccard_pairs_sql(),
+        # simhash / media_features: bit-twiddling + UDF features are not
+        # portable oracle SQL → rows-only checks (driver-weak path)
+        "cosine_topk": similarity.cosine_topk_sql(),
+        "ivf_topk": similarity.ivf_topk_sql(),
+        "token_count": textstats.TOKEN_COUNT_SQL,
+        "quality_score": textstats.quality_score_sql(),
+        "lang_id": textstats.lang_id_sql(),
+        "fingerprint": textstats.FINGERPRINT_SQL,
+        "winnow_fingerprints": textstats.winnow_fingerprints_sql(),
+        "media_metadata": multimodal.MEDIA_METADATA_SQL,
+        "pricing_summary": relational.PRICING_SUMMARY_SQL,
+        "top_customers": relational.top_customers_sql(),
+        "user_event_ranks": relational.USER_EVENT_RANKS_SQL,
+        "hourly_event_rollup": relational.HOURLY_EVENT_ROLLUP_SQL,
+        "event_type_setops": relational.EVENT_TYPE_SETOPS_SQL,
     }

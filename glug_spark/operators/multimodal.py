@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The engine treats image/audio/video as ``binary`` columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` stages. The decode
+step itself is STUBBED (no image/audio libs in this container): it
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic md5-derived feature vector stands in — the Spark-side
+plumbing (schema, batch shape, partitioning) is real and tested.
+
+The synthetic binary corpus derives from the documents table (the HTML
+wrapper bytes), so metadata extraction is oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from glug_spark import corpus
+
+FEATURE_DIM = 16
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary, media_type, n_bytes) — deterministic
+    synthetic binary column (the HTML page bytes)."""
+    url = F.expr(corpus.url_sql())
+    page = F.encode(
+        F.concat(
+            F.lit("<html><head><title>"), url,
+            F.lit("</title></head><body><pre>"), F.col("text"),
+            F.lit("</pre></body></html>"),
+        ),
+        "UTF-8",
+    )
+    return docs.select(
+        "doc_id",
+        page.alias("payload"),
+        F.lit("text/html").alias("media_type"),
+        F.length(page).cast("long").alias("n_bytes"),
+    )
+
+
+MEDIA_METADATA_SQL = f"""
+WITH w AS ({corpus.WEBTEXT_SQL})
+SELECT doc_id,
+       'text/html' AS media_type,
+       CAST(strlen(page) AS BIGINT) AS n_bytes,  -- strlen = BYTE length
+       CASE WHEN page LIKE '<html>%' THEN 'html' ELSE 'unknown' END AS sniffed
+FROM w
+"""
+
+
+def media_metadata(docs: DataFrame) -> DataFrame:
+    """Metadata + magic-byte sniff — pure column ops, oracle-checked."""
+    m = media_table(docs)
+    text = F.decode(F.col("payload"), "UTF-8")
+    return m.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.when(text.startswith("<html>"), "html").otherwise("unknown").alias("sniffed"),
+    )
+
+
+def decode_payload(payload: bytes, media_type: str):
+    """The real decoder hook — unavailable in this container."""
+    raise NotImplementedError(
+        f"no decoder for {media_type} in this environment; "
+        "use extract_features(fake=True) for deterministic stand-ins"
+    )
+
+
+def _fake_features(payload: bytes) -> np.ndarray:
+    """Deterministic md5-derived stand-in feature vector in [0, 1)."""
+    raw = hashlib.md5(payload).digest()
+    ext = (raw * ((FEATURE_DIM // len(raw)) + 1))[:FEATURE_DIM]
+    return np.frombuffer(bytes(ext), dtype=np.uint8).astype(np.float32) / 256.0
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """(doc_id, feat array<float>) via Arrow-batched mapInPandas.
+
+    Batch shape is the real contract: each pandas batch holds many
+    payloads; a real decoder would be vectorized over the batch exactly
+    like the fake one.
+    """
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feat", T.ArrayType(T.FloatType())),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                for p, mt in zip(pdf["payload"], pdf["media_type"]):
+                    decode_payload(p, mt)  # raises
+            feats = [
+                _fake_features(bytes(p)).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feat": feats})
+
+    return media.select("doc_id", "payload", "media_type").mapInPandas(
+        batches, schema=schema
+    )

@@ -1,0 +1,210 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- :func:`cosine_topk` — brute-force exact top-k vs a query vector.
+  JVM-side ``zip_with`` + ``aggregate`` (sequential left-fold → the
+  double math is order-deterministic and oracle-reproducible).
+- :func:`ivf_topk` — the scale path: IVF-style coarse quantization.
+  Coarse centroids are a deterministic sample (first ``n_lists``
+  vectors by vec_id — no training loop, reproducible); every vector is
+  assigned to its nearest centroid (by cosine) at "build", and a query
+  probes only the ``n_probe`` nearest clusters. At 100 TB the
+  assignment is a broadcast map-join (centroids are tiny), the probe
+  prunes the scan to n_probe/n_lists of the data, and recall-vs-speed
+  is the standard IVF trade — exactness is NOT claimed; the oracle
+  encodes the same probe semantics.
+
+All arithmetic is double; floats are cast before any multiply so both
+engines do IEEE-double math on the same values in the same fold order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact top-k nearest (cosine) to the vector with ``query_vec_id``,
+    excluding itself: (rank, vec_id, sim)."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("q")
+    )
+    sims = (
+        emb.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (_dot(F.col("v"), F.col("q"))
+             / (_norm(F.col("v")) * _norm(F.col("q")))).alias("raw_sim"),
+        )
+    )
+    topk = sims.orderBy(F.desc("raw_sim"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("raw_sim"), F.asc("vec_id"))
+    return topk.select(
+        F.row_number().over(w).alias("rank"),
+        "vec_id",
+        F.round("raw_sim", 6).alias("sim"),
+    )
+
+
+#: DuckDB list-fold mirroring _dot/_norm sequential order (list_reduce is
+#: 2-arg in DuckDB; the prepended 0.0 is the fold's initial accumulator).
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip({a}, {b}), p -> (p[1]::DOUBLE) * (p[2]::DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform({a}, x -> (x::DOUBLE) * (x::DOUBLE))), "
+    "(acc, x) -> acc + x))"
+)
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    dot = _DOT_SQL.format(a="e.embedding", b="q.embedding")
+    norm_v = _NORM_SQL.format(a="e.embedding")
+    norm_q = _NORM_SQL.format(a="q.embedding")
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}),
+sims AS (
+    SELECT e.vec_id, {dot} / ({norm_v} * {norm_q}) AS raw_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> {query_vec_id}
+),
+topk AS (SELECT * FROM sims ORDER BY raw_sim DESC, vec_id ASC LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY raw_sim DESC, vec_id ASC) AS INT) AS rank,
+       vec_id, round(raw_sim, 6) AS sim
+FROM topk
+"""
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-pruned approximate top-k: (rank, vec_id, sim).
+
+    Assignment and probing both use cosine against the deterministic
+    centroid set (vec_id < n_lists). The query vector searches only the
+    n_probe clusters whose centroids are most similar to it.
+    """
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cents = emb.where(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("list_id"), F.col("v").alias("c")
+    )
+
+    sim_to_cent = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "list_id",
+            (_dot(F.col("v"), F.col("c"))
+             / (_norm(F.col("v")) * _norm(F.col("c")))).alias("csim"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("list_id")
+    )
+    assigned = (
+        sim_to_cent.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "list_id")
+    )
+
+    probe_lists = (
+        assigned.where(F.col("vec_id") == query_vec_id)
+        .select(F.col("v").alias("q"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "list_id", "q",
+            (_dot(F.col("q"), F.col("c"))
+             / (_norm(F.col("q")) * _norm(F.col("c")))).alias("csim"),
+        )
+        .orderBy(F.desc("csim"), F.asc("list_id"))
+        .limit(n_probe)
+        .select("list_id", "q")
+    )
+
+    sims = (
+        assigned.join(F.broadcast(probe_lists), "list_id")
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            (_dot(F.col("v"), F.col("q"))
+             / (_norm(F.col("v")) * _norm(F.col("q")))).alias("raw_sim"),
+        )
+    )
+    topk = sims.orderBy(F.desc("raw_sim"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("raw_sim"), F.asc("vec_id"))
+    return topk.select(
+        F.row_number().over(w).alias("rank"),
+        "vec_id",
+        F.round("raw_sim", 6).alias("sim"),
+    )
+
+
+def ivf_topk_sql(
+    query_vec_id: int = 0, k: int = 10, n_lists: int = 8, n_probe: int = 2
+) -> str:
+    dot_vc = _DOT_SQL.format(a="e.v", b="c.c")
+    norm_v = _NORM_SQL.format(a="e.v")
+    norm_c = _NORM_SQL.format(a="c.c")
+    dot_qc = _DOT_SQL.format(a="q.q", b="c.c")
+    norm_q = _NORM_SQL.format(a="q.q")
+    dot_vq = _DOT_SQL.format(a="a.v", b="p.q")
+    norm_av = _NORM_SQL.format(a="a.v")
+    norm_pq = _NORM_SQL.format(a="p.q")
+    return f"""
+WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+cents AS (SELECT vec_id AS list_id, v AS c FROM emb WHERE vec_id < {n_lists}),
+sim_to_cent AS (
+    SELECT e.vec_id, e.v, c.list_id,
+           {dot_vc} / ({norm_v} * {norm_c}) AS csim
+    FROM emb e CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, v, list_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, list_id ASC) AS rn
+        FROM sim_to_cent
+    ) WHERE rn = 1
+),
+q AS (SELECT v AS q FROM assigned WHERE vec_id = {query_vec_id}),
+probe AS (
+    SELECT c.list_id, q.q
+    FROM q CROSS JOIN cents c
+    ORDER BY {dot_qc} / ({norm_q} * {norm_c}) DESC, c.list_id ASC
+    LIMIT {n_probe}
+),
+sims AS (
+    SELECT a.vec_id, {dot_vq} / ({norm_av} * {norm_pq}) AS raw_sim
+    FROM assigned a JOIN probe p ON a.list_id = p.list_id
+    WHERE a.vec_id <> {query_vec_id}
+),
+topk AS (SELECT * FROM sims ORDER BY raw_sim DESC, vec_id ASC LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY raw_sim DESC, vec_id ASC) AS INT) AS rank,
+       vec_id, round(raw_sim, 6) AS sim
+FROM topk
+"""

@@ -1,0 +1,217 @@
+"""Text analysis: quality scoring, language-ID heuristic, token counts,
+document fingerprinting (full-doc and winnowing).
+
+All operators are pure column expressions (JVM-side, codegen'd) with
+DuckDB oracle mirrors. Stopword lists are tiny literals — at scale they
+ride in the closure/plan, never a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from glug_spark.index.build import token_array
+from glug_spark.semantics.tokenize import TOKEN_PATTERN
+
+#: minimal per-language stopword markers for the heuristic classifier
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "de", "et", "que"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.size(token_array()).cast("long").alias("n_tokens")
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio, quality).
+
+    Heuristic quality in [0,1]: long-enough docs with normal word length
+    and a healthy (not-extreme) stopword ratio score high — the standard
+    cheap pre-filter in training-data pipelines.
+    """
+    a = token_array()
+    stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_tokens = F.size(a).cast("long")
+    n_stop = F.size(F.filter(a, lambda t: F.array_contains(stop, t))).cast("long")
+    sum_len = F.aggregate(
+        a, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    avg_len = F.when(n_tokens > 0, sum_len.cast("double") / n_tokens).otherwise(0.0)
+    ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens.cast("double") / 64.0) * 0.5
+        + F.when((avg_len >= 3.0) & (avg_len <= 8.0), 0.25).otherwise(0.0)
+        + F.when((ratio >= 0.05) & (ratio <= 0.5), 0.25).otherwise(0.0),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def quality_score_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    return f"""
+WITH base AS (
+    SELECT doc_id, text,
+           regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(list_filter(toks, t -> t IN ({stop}))) AS BIGINT) AS n_stop,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(length(t) AS BIGINT))), (acc, x) -> acc + x) AS sum_len
+    FROM base
+),
+r AS (
+    SELECT doc_id, n_tokens, n_chars,
+        CASE WHEN n_tokens > 0 THEN CAST(sum_len AS DOUBLE) / n_tokens ELSE 0.0 END AS avg_len,
+        CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS ratio
+    FROM m
+)
+SELECT doc_id, n_tokens, n_chars,
+       round(avg_len, 6) AS avg_token_len,
+       round(ratio, 6) AS stopword_ratio,
+       round(
+           least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) * 0.5
+           + CASE WHEN avg_len >= 3.0 AND avg_len <= 8.0 THEN 0.25 ELSE 0.0 END
+           + CASE WHEN ratio >= 0.05 AND ratio <= 0.5 THEN 0.25 ELSE 0.0 END,
+       6) AS quality
+FROM r
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) — argmax of stopword-marker hits per language,
+    ties broken lexicographically (deterministic n-gram-free heuristic;
+    real corpora give it signal, the synthetic corpus mostly yields the
+    majority class — determinism is what the gate checks)."""
+    a = token_array()
+    scores = []
+    for lang in sorted(STOPWORDS):
+        stop = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(a, lambda t: F.array_contains(stop, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax by (hits desc, lang asc): flip sign of hits in a sortable struct
+    best = F.array_sort(
+        F.array(*scores),
+        lambda l, r: F.when(l["hits"] > r["hits"], -1)
+        .when(l["hits"] < r["hits"], 1)
+        .when(l["lang"] < r["lang"], -1)
+        .when(l["lang"] > r["lang"], 1)
+        .otherwise(0),
+    )[0]["lang"]
+    return docs.select("doc_id", best.alias("pred_lang"))
+
+
+def lang_id_sql() -> str:
+    cols = []
+    for lang in sorted(STOPWORDS):
+        stop = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+        cols.append(
+            f"CAST(len(list_filter(toks, t -> t IN ({stop}))) AS BIGINT) AS hits_{lang}"
+        )
+    langs = sorted(STOPWORDS)
+    # argmax with lexicographic tiebreak via greatest + CASE cascade
+    greatest = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH base AS (
+    SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
+    FROM documents
+),
+h AS (SELECT doc_id, {', '.join(cols)} FROM base)
+SELECT doc_id, {case} AS pred_lang FROM h
+"""
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — md5 over the sorted distinct token set: an
+    order-insensitive content fingerprint (bag-of-words identity)."""
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(token_array())))
+        ).alias("fp"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           regexp_extract_all(text, '{TOKEN_PATTERN}'))), ' ')) AS fp
+FROM documents
+"""
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 4) -> DataFrame:
+    """(doc_id, fp_hash) — winnowing (Schleimer et al., MOSS): hash every
+    k-gram of tokens, keep the min hash of each sliding window of w
+    hashes, dedup. Robust local fingerprints for near-dup/overlap
+    detection at scale (each doc emits ~2n/w fingerprints)."""
+    from pyspark.sql import Window as W
+
+    a = token_array()
+    kgrams = F.when(
+        F.size(a) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(a) - k),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(a, i + j + 1) for j in range(k)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.posexplode(kgrams).alias("pos", "h"))
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        g.select("doc_id", F.min("h").over(win).alias("fp_hash"))
+        .distinct()
+    )
+
+
+def winnow_fingerprints_sql(k: int = 4, w: int = 4) -> str:
+    concat = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return f"""
+WITH base AS (
+    SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS pos, md5({concat}) AS h
+    FROM base, unnest(generate_series(1, len(toks) - {k - 1})) AS t(i)
+    WHERE len(toks) >= {k}
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp_hash
+FROM grams
+"""

