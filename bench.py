@@ -30,15 +30,38 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-#: headline queries: name → callable(spark, sf_dir) (from the driver contract)
-HEADLINE = [
-    "bm25_single",
-    "bm25_and",
-    "bm25_or",
-    "bm25_glob",
-    "phrase_match",
-    "selectfilter",
-]
+#: headline queries — the index-backed (build-once / query-many) path,
+#: plus the scan-bound path filter; names match SURVEY.md §2.3 keys.
+N_BUCKETS = 16
+
+
+def _headline(spark, sf_dir: str, index_dir: str):
+    from glug_spark.query import wand
+    import __spark_entry__ as entrymod
+
+    return {
+        "wand_single": lambda: wand.wand_topk(
+            spark, index_dir, ["data"], k=10, n_buckets=N_BUCKETS
+        ),
+        "wand_and": lambda: wand.wand_topk(
+            spark, index_dir, ["data", "join"], k=10, conjunctive=True,
+            n_buckets=N_BUCKETS,
+        ),
+        "wand_or": lambda: wand.wand_topk(
+            spark, index_dir, ["table", "scan", "merge"], k=100,
+            n_buckets=N_BUCKETS,
+        ),
+        "wand_stopword": lambda: wand.wand_topk(
+            spark, index_dir, ["the", "a"], k=10, n_buckets=N_BUCKETS
+        ),
+        "wand_glob": lambda: wand.glob_topk(
+            spark, index_dir, "dat*", k=10, n_buckets=N_BUCKETS
+        ),
+        "phrase_indexed": lambda: wand.phrase_docs_indexed(
+            spark, index_dir, ["table", "scan"], n_buckets=N_BUCKETS
+        ),
+        "selectfilter": lambda: entrymod.queries()["selectfilter"](spark, sf_dir),
+    }
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -50,30 +73,29 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def run_once(cpus: int, sf_dir: str) -> dict:
+    import statistics
+
     from glug_spark.session import get_spark
     from glug_spark.index.pipeline import build_index
-    import __spark_entry__ as entrymod
 
     spark = get_spark("glug_bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(8, cpus))
+    out_dir = tempfile.mkdtemp(prefix="glug_index_")
     try:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         n_docs = docs.count()  # warm-up + size
 
-        out_dir = tempfile.mkdtemp(prefix="glug_index_")
-        try:
-            t0 = time.perf_counter()
-            build_index(spark, sf_dir, out_dir)
-            build_sec = time.perf_counter() - t0
-        finally:
-            shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(spark, sf_dir, out_dir, n_buckets=N_BUCKETS)
+        build_sec = time.perf_counter() - t0
 
-        queries = entrymod.queries()
+        headline = _headline(spark, sf_dir, out_dir)
+        next(iter(headline.values()))().collect()  # warm Python workers/JIT
+
         timings: dict[str, float] = {}
-        for name in HEADLINE:
-            fn = queries[name]
+        for name, fn in headline.items():
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            fn().collect()
             timings[name] = round(time.perf_counter() - t0, 4)
 
         total = round(sum(timings.values()), 4)
@@ -85,10 +107,12 @@ def run_once(cpus: int, sf_dir: str) -> dict:
             "sf": _sf_from_dir(sf_dir),
             "build_sec": round(build_sec, 4),
             "docs_per_sec": round(n_docs / build_sec, 2) if build_sec else None,
+            "query_p50_sec": round(statistics.median(timings.values()), 4),
             "n_docs": n_docs,
             "cpus": cpus,
         }
     finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
         spark.stop()
 
 

@@ -90,7 +90,24 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def bucket_col(term_col: str = "term", n_buckets: int = 16) -> F.Column:
-    return F.pmod(F.xxhash64(F.col(term_col)), F.lit(n_buckets)).alias("bucket")
+    """Term → bucket. md5-derived (not xxhash64) so the DRIVER can compute
+    a query term's bucket in plain Python (`python_bucket`) without a
+    Spark job — term lookups prune partitions with zero planning cost."""
+    return (
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col(term_col)), 1, 15), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+
+
+def python_bucket(term: str, n_buckets: int = 16) -> int:
+    """Driver-side mirror of :func:`bucket_col`."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
 
 
 def build_index(

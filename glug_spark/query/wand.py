@@ -36,18 +36,27 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 
 from glug_spark.index import codec
 from glug_spark.index.build import K1, B
-from glug_spark.index.pipeline import bucket_col
+from glug_spark.index.pipeline import python_bucket
 
 _SCORE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("raw_score", T.DoubleType()),
 ])
 
+#: collection stats are immutable per index build → cache per index_dir
+_COLLECTION_CACHE: dict[str, dict] = {}
+
+
+def _collection(spark: SparkSession, index_dir: str) -> dict:
+    row = _COLLECTION_CACHE.get(index_dir)
+    if row is None:
+        row = spark.read.parquet(f"{index_dir}/collection").collect()[0].asDict()
+        _COLLECTION_CACHE[index_dir] = row
+    return row
+
 
 def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> dict[str, int]:
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
-    rows = df.withColumn("bucket", bucket_col(n_buckets=n_buckets)).collect()
-    return {r["term"]: r["bucket"] for r in rows}
+    return {t: python_bucket(t, n_buckets) for t in terms}
 
 
 def _contribution(tfs: np.ndarray, dls: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
@@ -227,8 +236,7 @@ def wand_topk(
     idfs = {r["term"]: r["idf"] for r in stats}
     if conjunctive and len(idfs) < len(uniq):
         return spark.createDataFrame([], "rank int, doc_id long, score double")
-    coll = spark.read.parquet(f"{index_dir}/collection").collect()[0]
-    avgdl = coll["avgdl"]
+    avgdl = _collection(spark, index_dir)["avgdl"]
 
     rows = (
         spark.read.parquet(f"{index_dir}/postings")
@@ -246,6 +254,31 @@ def wand_topk(
         F.col("doc_id"),
         F.round(F.col("raw_score"), 6).alias("score"),
     )
+
+
+def glob_topk(
+    spark: SparkSession,
+    index_dir: str,
+    glob: str,
+    k: int = 10,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Glob-pattern query from the index: expand the pattern against the
+    vocabulary (term_stats is vocab-sized — tiny next to the corpus),
+    then score the matching terms disjunctively."""
+    from glug_spark.semantics.glob import full_match_regex
+
+    pattern = full_match_regex(glob)
+    terms = [
+        r["term"]
+        for r in spark.read.parquet(f"{index_dir}/term_stats")
+        .where(F.col("term").rlike(pattern))
+        .select("term")
+        .collect()
+    ]
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    return wand_topk(spark, index_dir, terms, k=k, n_buckets=n_buckets)
 
 
 def phrase_docs_indexed(
