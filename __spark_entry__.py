@@ -146,6 +146,52 @@ def _q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXPLORER_SELECT = "*.html,*.py,*.cpp"
+EXPLORER_CHAIN = [
+    ("site", ["*.py", "!doc2*.py"]),
+    ("site/en", ["doc*4.html"]),
+]
+
+
+def _explorer_filters():
+    from glug_spark.semantics.filters import IgnoreFilter
+
+    select = pathfilter.compile_select(EXPLORER_SELECT)
+    chain = [
+        (scope, IgnoreFilter(rules, scope)) for scope, rules in EXPLORER_CHAIN
+    ]
+    return select, chain
+
+
+def _q_explorer_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's end-to-end behavior as one query: hierarchical
+    scoped ignore chain + select filter + deterministic files-first DFS
+    output order (reference src/filesystem.cpp:91-217)."""
+    from pyspark.sql import Window
+
+    select, chain = _explorer_filters()
+    df = _paths(spark, sf_dir)
+    admitted = df.where(
+        pathfilter.chain_admission_col(select, chain, F.col("path"))
+    )
+    w = Window.orderBy(pathfilter.dfs_order_key_col(F.col("path")))
+    return admitted.select(
+        F.row_number().over(w).alias("rank"), "path"
+    )
+
+
+def _explorer_oracle() -> str:
+    select, chain = _explorer_filters()
+    admit = pathfilter.chain_admission_sql(select, chain, "path")
+    key = pathfilter.DFS_ORDER_KEY_SQL.format(path="path")
+    return f"""
+WITH paths AS (SELECT doc_id, {corpus.path_sql()} AS path FROM documents),
+admitted AS (SELECT path FROM paths WHERE {admit})
+SELECT CAST(row_number() OVER (ORDER BY {key}) AS INT) AS rank, path
+FROM admitted
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # core index/query path
@@ -163,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selectfilter": _q_selectfilter,
         "typetag_select": _q_typetag_select,
         "ignore_admission": _q_ignore_admission,
+        "explorer_listing": _q_explorer_listing,
         # extraction invariant
         "extract_roundtrip": _q_extract_roundtrip,
         # dedup family
@@ -253,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "selectfilter": _select_oracle(SELECT_EXPR),
         "typetag_select": _select_oracle(TYPETAG_EXPR),
         "ignore_admission": _ignore_oracle(),
+        "explorer_listing": _explorer_oracle(),
         "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
         "dedup_exact": dedup.EXACT_GROUPS_SQL,
         "minhash_bands": dedup.minhash_bands_sql()

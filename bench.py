@@ -116,9 +116,31 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         spark.stop()
 
 
-def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+SCALING_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
+SCALING_CORPUS_DIR = "/tmp/glug_bench_corpus"
+
+
+def _ensure_scaling_corpus() -> str:
+    """Deterministic ~100k-doc corpus (FIXTURES.md §6) — fixed overheads
+    would dominate the 5k-doc testdata and mask scaling behavior."""
+    marker = os.path.join(SCALING_CORPUS_DIR, f".ok_{SCALING_CORPUS_DOCS}")
+    if not os.path.exists(marker):
+        from glug_spark.session import get_spark
+        from glug_spark.corpus_gen import write_corpus
+
+        spark = get_spark("glug_corpus_gen")
+        try:
+            write_corpus(spark, SCALING_CORPUS_DOCS, SCALING_CORPUS_DIR)
+        finally:
+            spark.stop()
+        open(marker, "w").close()
+    return SCALING_CORPUS_DIR
+
+
+def run_scaling(sf_dir: str | None = None, low: int = 8, high: int = 32) -> dict:
     """Same job, two parallelism levels, fresh JVM each (sandbox protocol
     for the N→4N executor-scaling criterion; see BASELINE.md)."""
+    sf_dir = sf_dir or _ensure_scaling_corpus()
     results = {}
     for cpus in (low, high):
         proc = subprocess.run(
@@ -150,7 +172,7 @@ def main() -> None:
     if args[:1] == ["--once"]:
         print(json.dumps(run_once(int(args[1]), SF_DIR)))
     elif args[:1] == ["--scaling"]:
-        print(json.dumps(run_scaling(SF_DIR)))
+        print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_once(CPUS, SF_DIR)))
 

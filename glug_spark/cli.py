@@ -1,0 +1,95 @@
+"""spark-submit entry point.
+
+Usage (ships as ``spark-submit --py-files glug_spark.zip cli.py ...``):
+
+    # build the index
+    spark-submit ... -m glug_spark.cli build  --input DIR --output DIR [--resume]
+
+    # query it (glug-dialect query string)
+    spark-submit ... -m glug_spark.cli query  --index DIR "data join" -k 10
+
+    # glug-compatible listing (select expression over the corpus paths)
+    spark-submit ... -m glug_spark.cli list   --input DIR "*.cpp,#python"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="glug_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--buckets", type=int, default=16)
+    b.add_argument("--resume", action="store_true")
+
+    q = sub.add_parser("query", help="BM25 top-k from the index")
+    q.add_argument("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--buckets", type=int, default=16)
+
+    ls = sub.add_parser("list", help="glug-style select listing")
+    ls.add_argument("expression")
+    ls.add_argument("--input", required=True)
+
+    args = parser.parse_args(argv)
+
+    from glug_spark.session import get_spark
+
+    spark = get_spark("glug_spark_cli")
+    try:
+        if args.command == "build":
+            from glug_spark.index.pipeline import build_index
+
+            summary = build_index(
+                spark, args.input, args.output,
+                n_buckets=args.buckets, resume=args.resume,
+            )
+            print(json.dumps(summary))
+        elif args.command == "query":
+            from glug_spark.query.parser import parse_query
+            from glug_spark.query import wand
+
+            plan = parse_query(args.query)
+            terms = plan.positive_terms
+            conjunctive = len(plan.groups) > 1 and all(
+                len(g) == 1 for g in plan.groups
+            )
+            rows = wand.wand_topk(
+                spark, args.index, terms, k=args.k,
+                conjunctive=conjunctive, n_buckets=args.buckets,
+            ).collect()
+            for r in rows:
+                print(f"{r['rank']}\t{r['doc_id']}\t{r['score']}")
+        elif args.command == "list":
+            from glug_spark import corpus
+            from glug_spark.operators import pathfilter
+
+            filt = pathfilter.compile_select(args.expression)
+            docs = spark.read.parquet(f"{args.input}/documents.parquet")
+            paths = docs.select(F.expr(corpus.path_sql()).alias("path"))
+            out = (
+                paths.where(
+                    pathfilter.decision_col(filt, F.col("path")) != "excluded"
+                )
+                .orderBy(pathfilter.dfs_order_key_col(F.col("path")))
+                .collect()
+            )
+            for r in out:
+                print(r["path"])
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -79,6 +79,86 @@ def decision_sql(filt: SelectFilter | IgnoreFilter, path_expr: str) -> str:
     return sql
 
 
+def scoped_decision_col(filt: IgnoreFilter, scope: str, path: Column) -> Column:
+    """An ignore file at directory ``scope`` only ever sees entries under
+    it (the reference loads one filter per directory and applies it while
+    scanning that subtree, src/filesystem.cpp:141-146) — outside the
+    scope the decision is UNDECIDED."""
+    in_scope = path.startswith(scope + "/")
+    return F.when(in_scope, decision_col(filt, path)).otherwise(
+        F.lit(Decision.UNDECIDED.value)
+    )
+
+
+def scoped_decision_sql(filt: IgnoreFilter, scope: str, path_expr: str) -> str:
+    scope_lit = (scope + "/").replace("'", "''")
+    return (
+        f"CASE WHEN {path_expr} LIKE '{scope_lit}%' "
+        f"THEN ({decision_sql(filt, path_expr)}) ELSE 'undecided' END"
+    )
+
+
+def chain_admission_col(select_filt: SelectFilter,
+                        scoped_ignores: list[tuple[str, IgnoreFilter]],
+                        path: Column) -> Column:
+    """Hierarchical admission: select EXCLUDED drops; then the ignore
+    chain INNERMOST scope first (deepest prefix = last .gitignore pushed
+    on the reference's stack), first non-undecided decides; default keep
+    (reference src/filesystem.cpp:149-176)."""
+    ordered = sorted(scoped_ignores, key=lambda sr: sr[0].count("/"))
+    admitted = F.lit(True)
+    for scope, filt in ordered:  # outermost builds first → innermost outermost-CASE
+        d = scoped_decision_col(filt, scope, path)
+        admitted = (
+            F.when(d == Decision.EXCLUDED.value, F.lit(False))
+            .when(d == Decision.INCLUDED.value, F.lit(True))
+            .otherwise(admitted)
+        )
+    select_d = decision_col(select_filt, path)
+    return F.when(select_d == Decision.EXCLUDED.value, F.lit(False)).otherwise(admitted)
+
+
+def chain_admission_sql(select_filt: SelectFilter,
+                        scoped_ignores: list[tuple[str, IgnoreFilter]],
+                        path_expr: str) -> str:
+    ordered = sorted(scoped_ignores, key=lambda sr: sr[0].count("/"))
+    admitted = "TRUE"
+    for scope, filt in ordered:
+        d = scoped_decision_sql(filt, scope, path_expr)
+        admitted = (
+            f"CASE WHEN ({d}) = 'excluded' THEN FALSE "
+            f"WHEN ({d}) = 'included' THEN TRUE ELSE {admitted} END"
+        )
+    sel = decision_sql(select_filt, path_expr)
+    return f"CASE WHEN ({sel}) = 'excluded' THEN FALSE ELSE {admitted} END"
+
+
+def dfs_order_key_col(path: Column) -> Column:
+    """Sort key reproducing the reference's deterministic enumeration:
+    depth-first, files before directories per directory, each
+    lexicographic byte-wise (src/filesystem.cpp:188-209).
+
+    Each directory segment becomes chr(1)+seg+chr(2), the final (file)
+    segment chr(0)+seg — so at any level every file sorts before every
+    subdirectory, and names compare byte-wise within a kind."""
+    segs = F.split(path, "/")
+    n = F.size(segs)
+    keyed = F.transform(
+        segs,
+        lambda seg, i: F.when(
+            i < n - 1, F.concat(F.lit("\x01"), seg, F.lit("\x02"))
+        ).otherwise(F.concat(F.lit("\x00"), seg)),
+    )
+    return F.concat_ws("", keyed)
+
+
+DFS_ORDER_KEY_SQL = (
+    "array_to_string(list_transform(string_split({path}, '/'), "
+    "(seg, i) -> CASE WHEN i < len(string_split({path}, '/')) "
+    "THEN chr(1) || seg || chr(2) ELSE chr(0) || seg END), '')"
+)
+
+
 def admission_col(select_filt: SelectFilter,
                   ignore_filts: list[IgnoreFilter],
                   path: Column) -> Column:
