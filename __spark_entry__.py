@@ -127,6 +127,58 @@ def _q_ignore_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "path")
 
 
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the encoded index in a temp
+    dir so the driver's oracle checks exercise the real index path."""
+    d = _INDEX_CACHE.get(sf_dir)
+    if d is None:
+        import tempfile
+
+        from glug_spark.index.pipeline import build_index
+
+        d = tempfile.mkdtemp(prefix="glug_entry_index_")
+        build_index(spark, sf_dir, d, n_buckets=8)
+        _INDEX_CACHE[sf_dir] = d
+    return d
+
+
+def _q_index_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end index path: encoded posting lists → MaxScore top-k.
+    Oracle = the same SQL as bm25_or (rank-identity is the contract)."""
+    from glug_spark.query import wand
+
+    return wand.wand_topk(
+        spark, _index_dir(spark, sf_dir), Q_OR, k=100, n_buckets=8
+    )
+
+
+def _q_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glug_spark.query import wand
+
+    return wand.phrase_docs_indexed(
+        spark, _index_dir(spark, sf_dir), Q_PHRASE, n_buckets=8
+    )
+
+
+def _q_term_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase salted aggregation (SURVEY §2.3 salt_repartition):
+    partial per (term, salt) then final per term — the classic shape for
+    skewed keys when the combiner isn't automatic. Oracle = plain
+    term_stats SQL (results must be identical)."""
+    p = ib.postings(_docs(spark, sf_dir))
+    salted = (
+        p.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(8)))
+        .groupBy("term", "salt")
+        .agg(F.count(F.lit(1)).alias("pdf"), F.sum("tf").alias("pcf"))
+    )
+    return salted.groupBy("term").agg(
+        F.sum("pdf").alias("df"), F.sum("pcf").alias("cf")
+    )
+
+
 def _q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identical extraction invariant: wrap text in the HTML template,
     extract it back natively, compare to the original."""
@@ -205,6 +257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": _q_bm25_or,
         "bm25_glob": _q_bm25_glob,
         "phrase_match": _q_phrase,
+        "term_stats_salted": _q_term_stats_salted,
+        # end-to-end encoded-index path (build → WAND / position lists)
+        "index_wand_topk": _q_index_wand,
+        "index_phrase": _q_index_phrase,
         # glug filter semantics over paths
         "selectfilter": _q_selectfilter,
         "typetag_select": _q_typetag_select,
@@ -297,6 +353,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or": bm25.bm25_topk_sql(Q_OR, k=100),
         "bm25_glob": bm25.bm25_glob_topk_sql(Q_GLOB, k=10),
         "phrase_match": bm25.phrase_docs_sql(Q_PHRASE),
+        "term_stats_salted": ib.TERM_STATS_SQL,
+        "index_wand_topk": bm25.bm25_topk_sql(Q_OR, k=100),
+        "index_phrase": bm25.phrase_docs_sql(Q_PHRASE),
         "selectfilter": _select_oracle(SELECT_EXPR),
         "typetag_select": _select_oracle(TYPETAG_EXPR),
         "ignore_admission": _ignore_oracle(),
