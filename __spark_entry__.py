@@ -36,6 +36,7 @@ Q_AND = ["data", "join"]
 Q_OR = ["table", "scan", "merge"]
 Q_GLOB = "dat*"
 Q_PHRASE = ["table", "scan"]
+Q_NEG = (["data"], ["join"])
 SELECT_EXPR = "*.html,*.md,-doc1*.html"
 TYPETAG_EXPR = "#cpp,-#hpp"
 IGNORE_RULES = ["*.txt", "!doc42.txt", "doc9*.py"]
@@ -257,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": _q_bm25_or,
         "bm25_glob": _q_bm25_glob,
         "phrase_match": _q_phrase,
+        "bm25_negated": lambda s, d: bm25.bm25_negated_topk(
+            _docs(s, d), Q_NEG[0], Q_NEG[1], k=10
+        ),
         "term_stats_salted": _q_term_stats_salted,
         # end-to-end encoded-index path (build → WAND / position lists)
         "index_wand_topk": _q_index_wand,
@@ -353,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or": bm25.bm25_topk_sql(Q_OR, k=100),
         "bm25_glob": bm25.bm25_glob_topk_sql(Q_GLOB, k=10),
         "phrase_match": bm25.phrase_docs_sql(Q_PHRASE),
+        "bm25_negated": bm25.bm25_negated_topk_sql(Q_NEG[0], Q_NEG[1], k=10),
         "term_stats_salted": ib.TERM_STATS_SQL,
         "index_wand_topk": bm25.bm25_topk_sql(Q_OR, k=100),
         "index_phrase": bm25.phrase_docs_sql(Q_PHRASE),

@@ -201,6 +201,86 @@ def encode_segment(
     }
 
 
+def encode_runs(
+    term_codes: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    positions_flat: np.ndarray,
+    block: int = BLOCK,
+) -> list[dict]:
+    """Vectorized multi-term encode: one varbyte pass over a whole
+    (bucket, segment) group instead of one per term.
+
+    Inputs must be term-major, doc_id-minor sorted; ``term_codes`` is the
+    dense code per row (row-aligned); ``positions_flat`` is the
+    concatenation of per-row position lists (row i contributes tfs[i]
+    values). Per-term byte slices of the shared blobs are byte-identical
+    to :func:`encode_segment` output (gaps restart at each term run).
+    Returns one dict per term run, in run order, with a ``run_start``
+    row index for caller bookkeeping.
+    """
+    n = len(term_codes)
+    if n == 0:
+        return []
+    starts = np.flatnonzero(np.diff(term_codes, prepend=term_codes[0] - 1))
+    ends = np.append(starts[1:], n)
+
+    ids_u = doc_ids.astype(np.uint64)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[1:] = ids_u[1:] - ids_u[:-1]
+    gaps[starts] = ids_u[starts] + np.uint64(1)
+    tf_u = tfs.astype(np.uint64)
+    dl_u = dls.astype(np.uint64)
+
+    glens = _varbyte_lengths(gaps)
+    tlens = _varbyte_lengths(tf_u)
+    dlens = _varbyte_lengths(dl_u)
+    gblob = varbyte_encode(gaps)
+    tblob = varbyte_encode(tf_u)
+    dblob = varbyte_encode(dl_u)
+    gcum = np.concatenate(([0], np.cumsum(glens)))
+    tcum = np.concatenate(([0], np.cumsum(tlens)))
+    dcum = np.concatenate(([0], np.cumsum(dlens)))
+
+    # per-doc position deltas with per-row restarts
+    pos_u = positions_flat.astype(np.uint64)
+    row_pos_starts = np.concatenate(([0], np.cumsum(tfs)))[:-1].astype(np.int64)
+    pdeltas = np.empty(len(pos_u), dtype=np.uint64)
+    if len(pos_u):
+        pdeltas[1:] = pos_u[1:] - pos_u[:-1]
+        restarts = row_pos_starts[tfs > 0]  # rows with tf=0 own no positions
+        pdeltas[restarts] = pos_u[restarts] + np.uint64(1)
+    plens = _varbyte_lengths(pdeltas) if len(pos_u) else np.zeros(0, np.int64)
+    pblob = varbyte_encode(pdeltas) if len(pos_u) else b""
+    # byte offset of each ROW's positions in pblob
+    pcum = np.concatenate(([0], np.cumsum(plens)))
+    row_pos_byte = pcum[row_pos_starts]
+    total_pos_bytes = pcum[-1] if len(pos_u) else 0
+
+    out = []
+    for k in range(len(starts)):
+        s, e = int(starts[k]), int(ends[k])
+        ids_run, tf_run = doc_ids[s:e], tfs[s:e]
+        block_last, block_max_tf = block_meta(ids_run, tf_run, block)
+        pos_start = int(row_pos_byte[s])
+        pos_end = int(row_pos_byte[e]) if e < n else int(total_pos_bytes)
+        out.append({
+            "run_start": s,
+            "df_local": e - s,
+            "doc_gaps": gblob[gcum[s]:gcum[e]],
+            "tfs": tblob[tcum[s]:tcum[e]],
+            "dls": dblob[dcum[s]:dcum[e]],
+            "positions": pblob[pos_start:pos_end],
+            "block_last": block_last.tolist(),
+            "block_max_tf": block_max_tf.tolist(),
+            "gap_offsets": _block_offsets(glens[s:e], block),
+            "tf_offsets": _block_offsets(tlens[s:e], block),
+            "dl_offsets": _block_offsets(dlens[s:e], block),
+        })
+    return out
+
+
 def decode_segment(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(doc_ids int64, tfs int64, dls int64) from an encoded row/dict."""
     get = row.get if hasattr(row, "get") else row.__getitem__

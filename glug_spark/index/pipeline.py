@@ -59,33 +59,30 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas worker: one (bucket, segment) → one encoded row per
     term. Grouping at bucket granularity (not per-term) keeps the number
     of Arrow exchanges at n_buckets × n_segments instead of
-    |vocab| × n_segments — per-term work is a NumPy inner loop."""
+    |vocab| × n_segments; codec.encode_runs does ONE vectorized varbyte
+    pass for the whole group (not one per term)."""
     bucket = int(pdf["bucket"].iloc[0])
     segment = int(pdf["segment"].iloc[0])
+
+    codes, uniques = pd.factorize(pdf["term"], sort=False)
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((doc_ids, codes))
+    codes = codes[order]
+    doc_ids = doc_ids[order]
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
+    dls = pdf["dl"].to_numpy(dtype=np.int64)[order]
+    pos_col = pdf["positions"].to_numpy()[order]
+    positions_flat = (
+        np.concatenate([np.asarray(p, dtype=np.uint64) for p in pos_col])
+        if len(pos_col)
+        else np.zeros(0, dtype=np.uint64)
+    )
+
+    runs = codec.encode_runs(codes, doc_ids, tfs, dls, positions_flat)
     rows = []
-    for term, g in pdf.groupby("term", sort=False):
-        positions = [np.asarray(p, dtype=np.uint64) for p in g["positions"]]
-        enc = codec.encode_segment(
-            g["doc_id"].to_numpy(),
-            g["tf"].to_numpy(),
-            g["dl"].to_numpy(),
-            positions,
-        )
-        rows.append({
-            "bucket": bucket,
-            "term": term,
-            "segment": segment,
-            "df_local": enc["df_local"],
-            "doc_gaps": enc["doc_gaps"],
-            "tfs": enc["tfs"],
-            "dls": enc["dls"],
-            "positions": enc["positions"],
-            "block_last": enc["block_last"],
-            "block_max_tf": enc["block_max_tf"],
-            "gap_offsets": enc["gap_offsets"],
-            "tf_offsets": enc["tf_offsets"],
-            "dl_offsets": enc["dl_offsets"],
-        })
+    for run in runs:
+        term = uniques[codes[run.pop("run_start")]]
+        rows.append({"bucket": bucket, "term": term, "segment": segment, **run})
     return pd.DataFrame(rows)
 
 
@@ -121,11 +118,16 @@ def build_index(
     """Build the full index; returns the counter summary dict."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+    # ONE pass over the corpus for bounds + collection stats (tokenizing
+    # a 100 TB corpus twice would double the dominant scan cost)
     bounds = docs.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(token_array()).cast("long")).alias("total_tokens"),
     ).collect()[0]
     lo, hi, n_docs = bounds["lo"], bounds["hi"], bounds["n_docs"]
+    total_tokens = bounds["total_tokens"]
+    avgdl = float(total_tokens) / n_docs
     if n_segments is None:
         # ~1k docs per segment, capped — at web scale segments are what
         # fan head-term encoding out across tasks; locally fewer segments
@@ -175,26 +177,21 @@ def build_index(
         .agg(F.sum("df_local").alias("df"))
         .withColumn("bucket", bucket_col(n_buckets=n_buckets))
     )
-    coll = docs.select(F.size(token_array()).cast("long").alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        F.sum("dl").alias("total_tokens"),
-    )
-    coll_row = coll.collect()[0]
     stats = stats.withColumn(
         "idf",
         F.log(
             1.0
-            + (F.lit(coll_row["n_docs"]) - F.col("df") + F.lit(0.5))
+            + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
         ),
     )
     stats.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out_dir, "term_stats")
     )
-    coll.withColumn("lo", F.lit(lo)).withColumn("seg_size", F.lit(seg_size)).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "collection"))
+    spark.createDataFrame(
+        [(n_docs, avgdl, total_tokens, lo, seg_size)],
+        "n_docs long, avgdl double, total_tokens long, lo long, seg_size long",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "collection"))
 
     # --- manifest: per-bucket lineage + counters ---------------------------
     manifest = (
@@ -224,6 +221,6 @@ def build_index(
         "n_postings": totals["postings"],
         "encoded_bytes": totals["bytes"],
         "buckets": totals["buckets"],
-        "avgdl": coll_row["avgdl"],
+        "avgdl": avgdl,
         "resumed_buckets_skipped": len(done_buckets),
     }

@@ -1,0 +1,203 @@
+"""Table-driven explorer: the reference's full end-to-end listing
+semantics over an entries TABLE instead of a filesystem.
+
+Reference behavior reproduced (src/filesystem.cpp:91-217):
+
+- outer filters: ancestors of the target root contribute their
+  ``.gitignore`` up to (and including) the nearest repo root — a dir
+  with a ``.git`` DIRECTORY; none if the target itself is a repo root
+  (:91-117),
+- per-directory ``.gitignore`` scopes with last-match-wins resolution,
+  innermost first, stopping at the first decisive level OR at a repo
+  root barrier (:169-174),
+- nested repos/submodules (a ``.git``-containing dir below an already
+  rooted level) are skipped entirely (:133-139),
+- symlinks, non-file/dir entries and ``.git`` itself are dropped
+  (:152-163); excluded directories prune their whole subtree by
+  non-enumeration; a select filter applies to files and dirs (:165-167),
+- output = admitted FILES in files-first lexicographic DFS order
+  (:188-209) — directories are traversed, never emitted.
+
+Execution model: rule files and repo markers are collected to the
+driver (they are configuration-sized — thousands of rows for a Linux
+tree, versus billions of corpus rows), compiled once with the semantic
+kernel, and shipped in an Arrow-batched UDF closure; the entries table
+itself is never collected. Directory admission is evaluated
+distributed, then files are pruned with a subtree anti-join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from glug_spark.operators.pathfilter import dfs_order_key_col
+from glug_spark.semantics.filters import Decision, IgnoreFilter, SelectFilter
+from glug_spark.semantics.lines import split_lines
+
+ENTRY_SCHEMA = "path string, kind string, content string"
+
+
+def _parent(path: str) -> str:
+    return path.rsplit("/", 1)[0] if "/" in path else ""
+
+
+def _basename(path: str) -> str:
+    return path.rsplit("/", 1)[-1]
+
+
+class _Chain:
+    """Compiled rule chains + repo topology, built plan-time."""
+
+    def __init__(self, entries: list[tuple[str, str, str | None]], root: str):
+        self.root = root
+        self.gitignores: dict[str, IgnoreFilter] = {}
+        git_dirs: set[str] = set()       # dirs whose entry ".git" is a dir
+        git_any: set[str] = set()        # dirs containing any ".git" entry
+        for path, kind, content in entries:
+            name = _basename(path)
+            parent = _parent(path)
+            if name == ".gitignore" and kind == "file":
+                self.gitignores[parent] = IgnoreFilter(
+                    split_lines(content or ""), parent
+                )
+            if name == ".git":
+                git_any.add(parent)
+                if kind == "dir":
+                    git_dirs.add(parent)
+
+        # outer levels above the target root (reference :91-117):
+        # none when the root itself holds a .git DIRECTORY; else walk up,
+        # one level per ancestor with a .gitignore or a .git dir, stopping
+        # at (and including) the first repo root.
+        self.outer: list[tuple[str, bool]] = []  # (dir, is_root) inner→outer
+        if root not in git_dirs:
+            current = root
+            while "/" in current:
+                current = _parent(current)
+                has_ignore = current in self.gitignores
+                is_root = current in git_dirs
+                if not has_ignore and not is_root:
+                    continue
+                self.outer.append((current, is_root))
+                if is_root:
+                    break
+
+        # a directory level is "rooted" if it contains any .git entry
+        # (reference populate :133); barrier walk uses the same flag
+        self.git_any = git_any
+        outer_rooted = any(r for _, r in self.outer)
+        self.root_rooted = root in git_any or outer_rooted
+
+        # nested-repo subtrees skipped entirely: a .git-holding dir D
+        # strictly below root is skipped iff some level above D (up to
+        # root + outers) is rooted (reference :133-139)
+        self.skipped: set[str] = set()
+        for d in sorted(git_any):
+            if d == root or not d.startswith(root + "/"):
+                continue
+            if self._has_rooted_above(d):
+                self.skipped.add(d)
+
+    def _levels_between(self, start_dir: str) -> list[str]:
+        """Dirs from start_dir up to (incl.) self.root, innermost first."""
+        out = []
+        d = start_dir
+        while True:
+            out.append(d)
+            if d == self.root:
+                break
+            if "/" not in d or not d.startswith(self.root + "/"):
+                break
+            d = _parent(d)
+        return out
+
+    def _has_rooted_above(self, d: str) -> bool:
+        for lvl in self._levels_between(_parent(d)):
+            if lvl in self.git_any:
+                # a skipped repo can't root anything (it's gone entirely)
+                if lvl in self.skipped:
+                    continue
+                return True
+        return any(r for _, r in self.outer)
+
+    def in_skipped_subtree(self, path: str) -> bool:
+        return any(
+            path == s or path.startswith(s + "/") for s in self.skipped
+        )
+
+    def decide(self, path: str, is_dir: bool) -> bool:
+        """filter_entry's ignore-stack walk (:169-174): True = keep."""
+        levels: list[tuple[str, bool]] = [
+            (d, d in self.git_any) for d in self._levels_between(_parent(path))
+        ]
+        levels.extend(self.outer)
+        for d, is_root in levels:
+            filt = self.gitignores.get(d)
+            decision = filt.apply(path, is_dir) if filt else Decision.UNDECIDED
+            if is_root or decision != Decision.UNDECIDED:
+                return decision != Decision.EXCLUDED
+        return True
+
+
+def explore(
+    spark_entries: DataFrame,
+    root: str,
+    select: SelectFilter | None = None,
+) -> DataFrame:
+    """Admitted files under ``root`` in the reference's DFS order.
+
+    ``spark_entries``: (path, kind ∈ file|dir|link, content) — content
+    only meaningful for ``.gitignore`` rows.
+    """
+    meta_rows = (
+        spark_entries.where(
+            F.element_at(F.split("path", "/"), -1).isin(".gitignore", ".git")
+        )
+        .select("path", "kind", "content")
+        .collect()
+    )
+    chain = _Chain([(r["path"], r["kind"], r["content"]) for r in meta_rows], root)
+
+    def admit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = []
+        for path, kind in zip(pdf["path"], pdf["kind"]):
+            ok = (
+                kind in ("file", "dir")
+                and _basename(path) != ".git"
+                and (path == root or path.startswith(root + "/"))
+                and path != root
+                and not chain.in_skipped_subtree(path)
+            )
+            if ok and select is not None:
+                ok = select.apply(path, kind == "dir") != Decision.EXCLUDED
+            if ok:
+                ok = chain.decide(path, kind == "dir")
+            keep.append(ok)
+        out = pdf[["path", "kind"]].copy()
+        out["admitted"] = keep
+        return out
+
+    admitted = spark_entries.mapInPandas(
+        lambda it: (admit_batch(pdf) for pdf in it),
+        schema=T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("admitted", T.BooleanType()),
+        ]),
+    )
+
+    files = admitted.where((F.col("kind") == "file") & F.col("admitted"))
+    excluded_dirs = admitted.where(
+        (F.col("kind") == "dir") & ~F.col("admitted")
+    ).select(F.col("path").alias("dead"))
+
+    # subtree prune: drop files under any excluded directory
+    # (non-enumeration semantics — negation cannot resurrect them).
+    # Broadcast anti-join on prefix: excluded dirs are few relative to files.
+    pruned = files.join(
+        F.broadcast(excluded_dirs),
+        files["path"].startswith(F.concat(F.col("dead"), F.lit("/"))),
+        "left_anti",
+    )
+    return pruned.select("path").orderBy(dfs_order_key_col(F.col("path")))

@@ -224,6 +224,74 @@ FROM topk
 """
 
 
+def bm25_negated_topk(
+    docs: DataFrame, terms: list[str], negated: list[str], k: int = 10
+) -> DataFrame:
+    """Top-k over ``terms`` for docs containing NONE of ``negated``
+    (glug select-dialect ``-`` inversion as an anti-semi-join)."""
+    scored = _with_collection(docs, _scored_terms(docs, terms))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(_contribution()).alias("raw_score")
+    )
+    neg_docs = (
+        docs.select("doc_id", F.explode(token_array()).alias("term"))
+        .where(F.col("term").isin(negated))
+        .select("doc_id")
+        .distinct()
+    )
+    per_doc = per_doc.join(neg_docs, "doc_id", "left_anti")
+    topk = per_doc.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("raw_score"), F.asc("doc_id"))
+    return topk.select(
+        F.row_number().over(w).alias("rank"),
+        F.col("doc_id"),
+        F.round(F.col("raw_score"), 6).alias("score"),
+    )
+
+
+def bm25_negated_topk_sql(terms: list[str], negated: list[str], k: int = 10) -> str:
+    quoted = ", ".join(_sql_quote(t) for t in terms)
+    neg_quoted = ", ".join(_sql_quote(t) for t in negated)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+')) AS BIGINT) AS dl,
+           unnest(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+')) AS term
+    FROM documents
+),
+qtoks AS (SELECT * FROM toks WHERE term IN ({quoted})),
+postings AS (
+    SELECT term, doc_id, count(*) AS tf, max(dl) AS dl
+    FROM qtoks GROUP BY term, doc_id
+),
+stats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+coll AS (
+    SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+')) AS BIGINT) AS dl
+          FROM documents)
+),
+neg AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({neg_quoted})),
+per_doc AS (
+    SELECT p.doc_id,
+           sum( ln(1.0 + (c.n_docs - s.df + 0.5) / (s.df + 0.5))
+                * (p.tf * ({K1} + 1.0))
+                / (p.tf + {K1} * (1.0 - {B} + {B} * p.dl / c.avgdl)) ) AS raw_score
+    FROM postings p JOIN stats s USING (term) CROSS JOIN coll c
+    WHERE p.doc_id NOT IN (SELECT doc_id FROM neg)
+    GROUP BY p.doc_id
+),
+topk AS (
+    SELECT doc_id, raw_score FROM per_doc
+    ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+)
+SELECT CAST(row_number() OVER (ORDER BY raw_score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id,
+       round(raw_score, 6) AS score
+FROM topk
+"""
+
+
 def phrase_docs(docs: DataFrame, phrase: list[str]) -> DataFrame:
     """doc_ids containing the exact token phrase (adjacent positions).
 
