@@ -188,8 +188,12 @@ def explore(
     )
 
     files = admitted.where((F.col("kind") == "file") & F.col("admitted"))
+    # only dirs strictly under the root prune; the root itself and
+    # out-of-scope dirs are merely not listed
     excluded_dirs = admitted.where(
-        (F.col("kind") == "dir") & ~F.col("admitted")
+        (F.col("kind") == "dir")
+        & ~F.col("admitted")
+        & F.col("path").startswith(root + "/")
     ).select(F.col("path").alias("dead"))
 
     # subtree prune: drop files under any excluded directory
