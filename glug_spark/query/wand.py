@@ -241,7 +241,13 @@ def wand_topk(
     rows = (
         spark.read.parquet(f"{index_dir}/postings")
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(list(idfs)))
-        .drop("bucket")
+        # column-prune the positions blob (the largest column): scoring
+        # never touches it — only the phrase path reads positions
+        .select(
+            "term", "segment", "df_local", "doc_gaps", "tfs", "dls",
+            "block_last", "block_max_tf",
+            "gap_offsets", "tf_offsets", "dl_offsets",
+        )
     )
     scorer = make_segment_scorer(uniq, idfs, avgdl, k, conjunctive)
     per_segment = rows.groupBy("segment").applyInPandas(
