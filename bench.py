@@ -116,25 +116,26 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         spark.stop()
 
 
-SCALING_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
-SCALING_CORPUS_DIR = "/tmp/glug_bench_corpus"
+SCALING_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "500000"))
 
 
 def _ensure_scaling_corpus() -> str:
-    """Deterministic ~100k-doc corpus (FIXTURES.md §6) — fixed overheads
-    would dominate the 5k-doc testdata and mask scaling behavior."""
-    marker = os.path.join(SCALING_CORPUS_DIR, f".ok_{SCALING_CORPUS_DOCS}")
+    """Deterministic scaling corpus (FIXTURES.md §6) — fixed overheads
+    would dominate the 5k-doc testdata and mask scaling behavior. The
+    directory is size-keyed so different sizes never alias."""
+    corpus_dir = f"/tmp/glug_bench_corpus_{SCALING_CORPUS_DOCS}"
+    marker = os.path.join(corpus_dir, ".ok")
     if not os.path.exists(marker):
         from glug_spark.session import get_spark
         from glug_spark.corpus_gen import write_corpus
 
         spark = get_spark("glug_corpus_gen")
         try:
-            write_corpus(spark, SCALING_CORPUS_DOCS, SCALING_CORPUS_DIR)
+            write_corpus(spark, SCALING_CORPUS_DOCS, corpus_dir)
         finally:
             spark.stop()
         open(marker, "w").close()
-    return SCALING_CORPUS_DIR
+    return corpus_dir
 
 
 def run_scaling(sf_dir: str | None = None, low: int = 8, high: int = 32) -> dict:

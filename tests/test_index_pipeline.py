@@ -73,10 +73,10 @@ def test_phrase_rank_identical(spark, index_dir, phrase):
     assert actual == expected
 
 
-def test_resume_skips_completed_buckets(spark, index_dir):
+def test_resume_skips_completed_segments(spark, index_dir):
     # a fresh resume over a complete index redoes nothing
     summary = build_index(
         spark, SF_DIR, index_dir, n_buckets=8, n_segments=4, resume=True
     )
-    assert summary["resumed_buckets_skipped"] == 8
+    assert summary["resumed_segments_skipped"] == summary["segments"] > 0
     assert summary["n_postings"] > 0
