@@ -7,35 +7,32 @@ Physical layout under ``out_dir``:
   bucket directory, and the bucket is computable driver-side in Python.
   Rows are (term, segment, df_local, cf_local, blobs, block metadata).
 - ``term_stats/`` parquet (term, df, idf, bucket) — same bucketing.
-- ``collection/`` parquet single row (n_docs, avgdl, total_tokens, lo,
-  seg_size).
+- ``collection/`` parquet single row (n_docs, avgdl, total_tokens).
 - ``params/``     build parameters written BEFORE encoding starts so an
-  interrupted build can resume with identical segmentation.
-- ``manifest/``   parquet, one row per SEGMENT: lineage (input path,
-  doc range) + counters (terms, postings, encoded bytes). Resume
-  anti-joins pending segments and the skip is a doc_id RANGE predicate,
-  i.e. it pushes down to the input scan — completed doc ranges are
-  neither read nor recomputed (north rule: "resumable from checkpoint
-  with per-partition lineage + metrics").
+  interrupted build resumes with identical configuration.
+- ``manifest/``   parquet, one row per SEGMENT: lineage (input path) +
+  counters (terms, postings, tokens, encoded bytes). Resume skips
+  completed segments in the worker (north rule: "resumable from
+  checkpoint with per-partition lineage + metrics").
 
 Dataflow (the part that must survive 10^12 docs):
 
-    documents ──(ONE shuffle: group docs by doc-space segment)──▶
-    Arrow worker [tokenize → postings → delta+varbyte encode, all
-    vectorized] ──▶ bucketed parquet
+    documents ──mapInPandas──▶ Arrow worker [tokenize → postings →
+    delta+varbyte encode, all vectorized] ──▶ bucketed parquet
 
-- The only shuffle moves DOCUMENT rows (text), never token rows: an
-  earlier token-row design moved ~20× more rows through shuffle +
-  Arrow and spent 75% of its cycles in the kernel; tokenizing inside
-  the Arrow worker (as the north star prescribes) removed that wall.
-- ``segment = floor((doc_id - lo) / seg_size)`` is monotone in doc_id,
-  so per-(term, segment) encoded runs concatenate in segment order into
-  globally doc_id-sorted posting lists. Head terms ('the' at web scale)
-  fan out across all segments instead of melting one task — this
-  replaces groupBy-salting and also gives the query path block-aligned,
-  independently decodable runs.
-- No JVM aggregation anywhere in the hot path: postings fall out of a
-  NumPy lexsort + run-length pass per segment (zero per-row Python).
+- **ZERO shuffle.** A segment is one (input split, Arrow batch): a
+  disjoint doc set, which is all the query path needs (it re-sorts a
+  term's runs on merge; WAND scores segments independently). Two
+  earlier designs shuffled token rows (75% kernel time moving 20× the
+  bytes through shuffle + Arrow) and then document rows; mapping in
+  place beats both and is embarrassingly parallel at any cluster size.
+- **No skew by construction.** Docs partition uniformly regardless of
+  term distribution; head terms ('the') appear in every segment —
+  exactly the fan-out a term-keyed shuffle would need salting for.
+- No JVM aggregation in the hot path: postings fall out of a NumPy
+  lexsort + run-length pass per segment (zero per-row Python). Term
+  stats and the manifest aggregate the (tiny) encoded output, not the
+  corpus.
 """
 
 from __future__ import annotations
@@ -88,17 +85,15 @@ def python_bucket(term: str, n_buckets: int = 16) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
 
 
-def _make_segment_encoder(n_buckets: int):
-    """Arrow worker: one doc-space segment of documents → encoded rows.
+def _encode_doc_batch(pdf: pd.DataFrame, segment: int, n_buckets: int,
+                      pat: "re.Pattern[str]") -> pd.DataFrame:
+    """One batch of documents → encoded posting rows (segment = batch id).
 
     Tokenize (Python re, parity-tested against the JVM pattern), build
     postings via lexsort + run-length, varbyte-encode in two vectorized
     passes (codec.encode_runs). All O(tokens) work is NumPy.
     """
-    pat = re.compile(r"\w+", re.UNICODE)
-
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        segment = int(pdf["segment"].iloc[0])
+    if True:
         token_lists = [pat.findall(t or "") for t in pdf["text"]]
         counts = np.array([len(t) for t in token_lists], dtype=np.int64)
         total = int(counts.sum())
@@ -154,11 +149,30 @@ def _make_segment_encoder(n_buckets: int):
         ]
         return out
 
+
+def _make_partition_encoder(n_buckets: int, done_segments: set[int]):
+    """mapInPandas worker: encode each incoming document batch in place.
+
+    ZERO-shuffle build: segments are simply (input partition, batch)
+    ids — disjoint doc sets, which is all the query path requires (it
+    re-sorts a term's runs by doc_id when merging, and WAND scores
+    segments independently). Completed segments short-circuit (resume).
+    """
+    import re as _re
+
+    pat = _re.compile(r"\w+", _re.UNICODE)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for batch_no, pdf in enumerate(batches):
+            segment = pid * 100_000 + batch_no
+            if segment in done_segments or pdf.empty:
+                continue
+            yield _encode_doc_batch(pdf, segment, n_buckets, pat)
+
     return encode
-
-
-def _segment_expr(lo: int, seg_size: int) -> F.Column:
-    return ((F.col("doc_id") - F.lit(lo)) / F.lit(seg_size)).cast("long")
 
 
 def build_index(
@@ -178,9 +192,7 @@ def build_index(
     done_segments: set[int] = set()
     if resume and os.path.exists(params_path):
         p = spark.read.parquet(params_path).collect()[0]
-        lo, seg_size, n_buckets, n_docs = (
-            p["lo"], p["seg_size"], p["n_buckets"], p["n_docs"]
-        )
+        n_buckets, n_docs = p["n_buckets"], p["n_docs"]
         if os.path.exists(manifest_path):
             done_segments = {
                 r["segment"]
@@ -188,32 +200,21 @@ def build_index(
                 .select("segment").collect()
             }
     else:
-        bounds = docs.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
-            F.count(F.lit(1)).alias("n_docs"),
-        ).collect()[0]
-        lo, hi, n_docs = bounds["lo"], bounds["hi"], bounds["n_docs"]
-        if n_segments is None:
-            # every core gets several segments; one segment's docs
-            # (~8k docs ≈ 1.5-2M tokens) fit comfortably in a worker
-            cores = spark.sparkContext.defaultParallelism
-            n_segments = max(1, min(65536, max(4 * cores, n_docs // 8192)))
-        seg_size = max(1, (hi - lo + n_segments) // n_segments)
+        n_docs = docs.count()
         spark.createDataFrame(
-            [(int(lo), int(seg_size), int(n_buckets), int(n_docs),
-              os.path.abspath(sf_dir))],
-            "lo long, seg_size long, n_buckets int, n_docs long, input_path string",
+            [(int(n_buckets), int(n_docs), os.path.abspath(sf_dir))],
+            "n_buckets int, n_docs long, input_path string",
         ).write.mode("overwrite").parquet(params_path)
 
-    work = docs.select("doc_id", "text").withColumn(
-        "segment", _segment_expr(lo, seg_size)
-    )
-    if done_segments:
-        # range-pushdown skip of completed doc spans
-        work = work.where(~F.col("segment").isin(list(done_segments)))
-
-    encoded = work.groupBy("segment").applyInPandas(
-        _make_segment_encoder(n_buckets), schema=ENCODED_SCHEMA
+    # ZERO-shuffle build: mapInPandas over the input splits; each Arrow
+    # batch is its own segment. The only cluster-wide data movement is
+    # the input read and the bucketed output write — embarrassingly
+    # parallel, no skew (docs partition uniformly regardless of term
+    # distribution; head terms appear in EVERY segment, which is exactly
+    # the fan-out that a term-keyed shuffle would have to salt for).
+    encoded = docs.select("doc_id", "text").mapInPandas(
+        _make_partition_encoder(n_buckets, done_segments),
+        schema=ENCODED_SCHEMA,
     )
     (
         encoded.write.mode("append" if done_segments else "overwrite")
@@ -253,8 +254,6 @@ def build_index(
             ).alias("encoded_bytes"),
         )
         .withColumn("input_path", F.lit(os.path.abspath(sf_dir)))
-        .withColumn("lo", F.lit(lo))
-        .withColumn("seg_size", F.lit(seg_size))
     )
     manifest.write.mode("overwrite").parquet(manifest_path)
 
@@ -267,8 +266,8 @@ def build_index(
     total_tokens = int(totals["tokens"])
     avgdl = float(total_tokens) / n_docs
     spark.createDataFrame(
-        [(int(n_docs), avgdl, total_tokens, int(lo), int(seg_size))],
-        "n_docs long, avgdl double, total_tokens long, lo long, seg_size long",
+        [(int(n_docs), avgdl, total_tokens)],
+        "n_docs long, avgdl double, total_tokens long",
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "collection"))
 
     return {
