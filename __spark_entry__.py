@@ -180,6 +180,73 @@ def _q_term_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEARCH_MIXED_QUERY = 'dat* -noise "table scan"'
+
+
+def _q_search_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full glug-dialect composition: glob group + negation + phrase,
+    through the query parser + executor."""
+    from glug_spark.query.execute import search
+
+    return search(_docs(spark, sf_dir), SEARCH_MIXED_QUERY, k=10)
+
+
+def _search_mixed_oracle() -> str:
+    from glug_spark.semantics.glob import to_regex
+
+    glob_re = to_regex("dat*").replace("'", "''")
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+')) AS BIGINT) AS dl,
+           unnest(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+')) AS term,
+           generate_subscripts(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+'), 1) - 1 AS pos
+    FROM documents
+),
+qtoks AS (
+    SELECT * FROM toks
+    WHERE regexp_full_match(term, '{glob_re}')
+       OR term IN ('table', 'scan')
+),
+postings AS (
+    SELECT term, doc_id, count(*) AS tf, max(dl) AS dl
+    FROM qtoks GROUP BY term, doc_id
+),
+stats AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+coll AS (
+    SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM (SELECT doc_id, CAST(len(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+')) AS BIGINT) AS dl
+          FROM documents)
+),
+neg AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'noise'),
+phrase AS (
+    SELECT DISTINCT a.doc_id
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'table' AND b.term = 'scan'
+),
+grp AS (
+    SELECT DISTINCT doc_id FROM toks
+    WHERE regexp_full_match(term, '{glob_re}')
+),
+per_doc AS (
+    SELECT p.doc_id,
+           sum( ln(1.0 + (c.n_docs - s.df + 0.5) / (s.df + 0.5))
+                * (p.tf * (1.2 + 1.0))
+                / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / c.avgdl)) ) AS raw_score
+    FROM postings p JOIN stats s USING (term) CROSS JOIN coll c
+    WHERE p.doc_id IN (SELECT doc_id FROM grp)
+      AND p.doc_id NOT IN (SELECT doc_id FROM neg)
+      AND p.doc_id IN (SELECT doc_id FROM phrase)
+    GROUP BY p.doc_id
+),
+topk AS (SELECT doc_id, raw_score FROM per_doc
+         ORDER BY raw_score DESC, doc_id ASC LIMIT 10)
+SELECT CAST(row_number() OVER (ORDER BY raw_score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, round(raw_score, 6) AS score
+FROM topk
+"""
+
+
 def _q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identical extraction invariant: wrap text in the HTML template,
     extract it back natively, compare to the original."""
@@ -262,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), Q_NEG[0], Q_NEG[1], k=10
         ),
         "term_stats_salted": _q_term_stats_salted,
+        "search_mixed": _q_search_mixed,
         # end-to-end encoded-index path (build → WAND / position lists)
         "index_wand_topk": _q_index_wand,
         "index_phrase": _q_index_phrase,
@@ -359,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": bm25.phrase_docs_sql(Q_PHRASE),
         "bm25_negated": bm25.bm25_negated_topk_sql(Q_NEG[0], Q_NEG[1], k=10),
         "term_stats_salted": ib.TERM_STATS_SQL,
+        "search_mixed": _search_mixed_oracle(),
         "index_wand_topk": bm25.bm25_topk_sql(Q_OR, k=100),
         "index_phrase": bm25.phrase_docs_sql(Q_PHRASE),
         "selectfilter": _select_oracle(SELECT_EXPR),

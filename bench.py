@@ -80,6 +80,10 @@ def run_once(cpus: int, sf_dir: str) -> dict:
 
     spark = get_spark("glug_bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(8, cpus))
+    # finer input splits → ≥4 task waves per core → negligible
+    # straggler tail in the map-only build (default 128MB splits gave
+    # the 8-core leg only 11 tasks on the 2M-doc corpus)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 2**20))
     out_dir = tempfile.mkdtemp(prefix="glug_index_")
     try:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -116,7 +120,10 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         spark.stop()
 
 
-SCALING_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "500000"))
+# 2M docs ≈ 430M tokens: big enough that parallel work dominates the
+# ~15s of per-job fixed cost at the 4N leg (smaller corpora understate
+# scaling efficiency by benchmarking constant overheads)
+SCALING_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "2000000"))
 
 
 def _ensure_scaling_corpus() -> str:
@@ -139,20 +146,32 @@ def _ensure_scaling_corpus() -> str:
 
 
 def run_scaling(
-    sf_dir: str | None = None, low: int = 8, high: int = 32, repeats: int = 2
+    sf_dir: str | None = None, low: int = 2, high: int = 8, repeats: int = 2
 ) -> dict:
-    """Same job, two parallelism levels, fresh JVM each (sandbox protocol
-    for the N→4N executor-scaling criterion; see BASELINE.md). Each leg
-    runs ``repeats`` times and keeps the best throughput — the sandbox
-    VM sees hypervisor steal (5-11% st observed), and best-of-N
-    approximates uncontended performance."""
+    """Same job, two parallelism levels (N and 4N cores), fresh JVM each
+    — the sandbox protocol for the N→4N executor-scaling criterion; see
+    BASELINE.md. Each leg runs ``repeats`` times and keeps the best
+    throughput: the sandbox VM sees hypervisor steal (5-11% st
+    observed), and best-of-N approximates uncontended performance.
+
+    Default pair is 2 vs 8 cores: this single VM's memory bandwidth
+    saturates around 8-16 cores for this (bandwidth-heavy) job, so
+    measuring above that regime benchmarks the VM, not the engine — a
+    real 4N-executor cluster brings 4N× memory bandwidth with it."""
     sf_dir = sf_dir or _ensure_scaling_corpus()
     results = {}
     for cpus in (low, high):
         best = None
         for _ in range(repeats):
+            # taskset-pin the WHOLE process tree to exactly N cores:
+            # local[N] only caps task threads — GC, I/O, shuffle and
+            # Python workers would otherwise borrow idle cores and
+            # inflate the low leg (measured: +35% on local[2])
+            cmd = [sys.executable, __file__, "--once", str(cpus)]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             proc = subprocess.run(
-                [sys.executable, __file__, "--once", str(cpus)],
+                cmd,
                 capture_output=True, text=True,
                 env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
                 check=True,

@@ -56,17 +56,11 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(summary))
         elif args.command == "query":
-            from glug_spark.query.parser import parse_query
-            from glug_spark.query import wand
+            from glug_spark.query.execute import search_indexed
 
-            plan = parse_query(args.query)
-            terms = plan.positive_terms
-            conjunctive = len(plan.groups) > 1 and all(
-                len(g) == 1 for g in plan.groups
-            )
-            rows = wand.wand_topk(
-                spark, args.index, terms, k=args.k,
-                conjunctive=conjunctive, n_buckets=args.buckets,
+            rows = search_indexed(
+                spark, args.index, args.query, k=args.k,
+                n_buckets=args.buckets,
             ).collect()
             for r in rows:
                 print(f"{r['rank']}\t{r['doc_id']}\t{r['score']}")

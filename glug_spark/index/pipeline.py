@@ -93,61 +93,60 @@ def _encode_doc_batch(pdf: pd.DataFrame, segment: int, n_buckets: int,
     postings via lexsort + run-length, varbyte-encode in two vectorized
     passes (codec.encode_runs). All O(tokens) work is NumPy.
     """
-    if True:
-        token_lists = [pat.findall(t or "") for t in pdf["text"]]
-        counts = np.array([len(t) for t in token_lists], dtype=np.int64)
-        total = int(counts.sum())
-        if total == 0:
-            return pd.DataFrame([], columns=[f.name for f in ENCODED_SCHEMA])
+    token_lists = [pat.findall(t or "") for t in pdf["text"]]
+    counts = np.array([len(t) for t in token_lists], dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return pd.DataFrame([], columns=[f.name for f in ENCODED_SCHEMA])
 
-        doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), counts)
-        dls = np.repeat(counts, counts)
-        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), counts)
+    dls = np.repeat(counts, counts)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
-        flat_terms = pd.Series(
-            [t for lst in token_lists for t in lst], dtype="object"
-        )
-        codes, uniques = pd.factorize(flat_terms, sort=False)
+    flat_terms = pd.Series(
+        [t for lst in token_lists for t in lst], dtype="object"
+    )
+    codes, uniques = pd.factorize(flat_terms, sort=False)
 
-        order = np.lexsort((pos, doc_ids, codes))
-        codes_s, doc_s, pos_s, dls_s = (
-            codes[order], doc_ids[order], pos[order], dls[order]
-        )
-        change = np.empty(total, dtype=bool)
-        change[0] = True
-        change[1:] = (codes_s[1:] != codes_s[:-1]) | (doc_s[1:] != doc_s[:-1])
-        run_starts = np.flatnonzero(change)
-        tfs = np.diff(np.append(run_starts, total)).astype(np.int64)
+    order = np.lexsort((pos, doc_ids, codes))
+    codes_s, doc_s, pos_s, dls_s = (
+        codes[order], doc_ids[order], pos[order], dls[order]
+    )
+    change = np.empty(total, dtype=bool)
+    change[0] = True
+    change[1:] = (codes_s[1:] != codes_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+    run_starts = np.flatnonzero(change)
+    tfs = np.diff(np.append(run_starts, total)).astype(np.int64)
 
-        runs = codec.encode_runs(
-            codes_s[run_starts], doc_s[run_starts], tfs, dls_s[run_starts],
-            pos_s.astype(np.uint64),
-        )
-        run_codes = codes_s[run_starts]
-        rows = []
-        bucket_of = {}
-        for run in runs:
-            term = uniques[run_codes[run.pop("run_start")]]
-            b = bucket_of.get(term)
-            if b is None:
-                b = python_bucket(term, n_buckets)
-                bucket_of[term] = b
-            rows.append({
-                "bucket": b, "term": term, "segment": segment,
-                "cf_local": 0, **run,
-            })
-        out = pd.DataFrame(rows)
-        # cf_local per term run = sum of the run's tf values
-        run_bounds = np.flatnonzero(
-            np.diff(run_codes, prepend=run_codes[0] - 1)
-        )
-        run_ends = np.append(run_bounds[1:], len(run_codes))
-        tf_cum = np.concatenate(([0], np.cumsum(tfs)))
-        out["cf_local"] = [
-            int(tf_cum[e] - tf_cum[s]) for s, e in zip(run_bounds, run_ends)
-        ]
-        return out
+    runs = codec.encode_runs(
+        codes_s[run_starts], doc_s[run_starts], tfs, dls_s[run_starts],
+        pos_s.astype(np.uint64),
+    )
+    run_codes = codes_s[run_starts]
+    rows = []
+    bucket_of = {}
+    for run in runs:
+        term = uniques[run_codes[run.pop("run_start")]]
+        b = bucket_of.get(term)
+        if b is None:
+            b = python_bucket(term, n_buckets)
+            bucket_of[term] = b
+        rows.append({
+            "bucket": b, "term": term, "segment": segment,
+            "cf_local": 0, **run,
+        })
+    out = pd.DataFrame(rows)
+    # cf_local per term run = sum of the run's tf values
+    run_bounds = np.flatnonzero(
+        np.diff(run_codes, prepend=run_codes[0] - 1)
+    )
+    run_ends = np.append(run_bounds[1:], len(run_codes))
+    tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+    out["cf_local"] = [
+        int(tf_cum[e] - tf_cum[s]) for s, e in zip(run_bounds, run_ends)
+    ]
+    return out
 
 
 def _make_partition_encoder(n_buckets: int, done_segments: set[int]):

@@ -262,6 +262,38 @@ def wand_topk(
     )
 
 
+def docs_with_any(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Distinct doc_ids containing ANY of ``terms`` — the semi/anti-join
+    building block for composed queries (group filters, negation)."""
+    uniq = list(dict.fromkeys(terms))
+    if not uniq:
+        return spark.createDataFrame([], "doc_id long")
+    buckets = sorted({python_bucket(t, n_buckets) for t in uniq})
+    rows = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+        .select("segment", "doc_gaps")
+    )
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = [
+            codec.delta_decode(codec.varbyte_decode(g)).astype(np.int64)
+            for g in pdf["doc_gaps"]
+        ]
+        out = np.unique(np.concatenate(ids)) if ids else np.zeros(0, np.int64)
+        return pd.DataFrame({"doc_id": out})
+
+    return rows.groupBy("segment").applyInPandas(
+        lambda pdf: decode(pdf),
+        schema=T.StructType([T.StructField("doc_id", T.LongType())]),
+    ).distinct()
+
+
 def glob_topk(
     spark: SparkSession,
     index_dir: str,

@@ -142,3 +142,29 @@ def test_search_matches_brute_force(spark, py_corpus, query):
     actual = [tuple(r) for r in search(docs, query, k=10).collect()]
     expected = _brute_force(py_corpus, query, k=10)
     assert actual == expected, query
+
+
+@pytest.fixture(scope="module")
+def search_index(spark):
+    import shutil
+    import tempfile
+
+    from glug_spark.index.pipeline import build_index
+
+    d = tempfile.mkdtemp(prefix="glug_search_idx_")
+    build_index(spark, SF_DIR, d, n_buckets=8)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_search_indexed_matches_full_scan(spark, search_index, query):
+    from glug_spark.query.execute import search_indexed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expected = [tuple(r) for r in search(docs, query, k=10).collect()]
+    actual = [
+        tuple(r)
+        for r in search_indexed(spark, search_index, query, k=10, n_buckets=8).collect()
+    ]
+    assert actual == expected, query
