@@ -73,6 +73,71 @@ def test_phrase_rank_identical(spark, index_dir, phrase):
     assert actual == expected
 
 
+def test_resume_after_interruption(spark):
+    """Simulate a build killed mid-flight: one segment's output and
+    manifest row are missing. Resume must (a) skip completed segments,
+    (b) restore the index to a state rank-identical to a clean build."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "128")  # several segments
+    clean = tempfile.mkdtemp(prefix="glug_clean_")
+    broken = tempfile.mkdtemp(prefix="glug_broken_")
+    try:
+        build_index(spark, SF_DIR, clean, n_buckets=8)
+        build_index(spark, SF_DIR, broken, n_buckets=8)
+
+        # amputate one segment: drop its postings rows + manifest row
+        segs = [
+            r["segment"]
+            for r in spark.read.parquet(f"{broken}/manifest")
+            .select("segment").collect()
+        ]
+        assert len(segs) > 1
+        victim = sorted(segs)[0]
+        for sub, part_by in (("postings", "bucket"), ("manifest", None)):
+            df = spark.read.parquet(f"{broken}/{sub}").where(
+                F.col("segment") != victim
+            )
+            pdf_rows = df.collect()
+            schema = df.schema
+            shutil.rmtree(f"{broken}/{sub}")
+            w = spark.createDataFrame(pdf_rows, schema).write.mode("overwrite")
+            if part_by:
+                w = w.partitionBy(part_by)
+            w.parquet(f"{broken}/{sub}")
+
+        summary = build_index(spark, SF_DIR, broken, n_buckets=8, resume=True)
+        assert summary["resumed_segments_skipped"] == len(segs) - 1
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        for terms, k, conj in [(["data"], 10, False), (["data", "join"], 10, True)]:
+            want = [
+                tuple(r)
+                for r in wand.wand_topk(spark, clean, terms, k=k,
+                                        conjunctive=conj, n_buckets=8).collect()
+            ]
+            got = [
+                tuple(r)
+                for r in wand.wand_topk(spark, broken, terms, k=k,
+                                        conjunctive=conj, n_buckets=8).collect()
+            ]
+            assert got == want
+            full = [
+                tuple(r)
+                for r in bm25.bm25_topk(docs, terms, k=k, conjunctive=conj).collect()
+            ]
+            assert got == full
+    finally:
+        spark.conf.set(key, prev)
+        shutil.rmtree(clean, ignore_errors=True)
+        shutil.rmtree(broken, ignore_errors=True)
+
+
 def test_resume_skips_completed_segments(spark, index_dir):
     # a fresh resume over a complete index redoes nothing
     summary = build_index(
