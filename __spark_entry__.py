@@ -366,6 +366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": lambda s, d: multimodal.extract_features(
             multimodal.media_table(_docs(s, d))
         ),
+        "media_frames": lambda s, d: multimodal.sample_frames(
+            multimodal.media_table(_docs(s, d))
+        ),
         # generic relational coverage
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,

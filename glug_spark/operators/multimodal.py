@@ -89,6 +89,36 @@ def _fake_features(payload: bytes) -> np.ndarray:
     return np.frombuffer(bytes(ext), dtype=np.uint8).astype(np.float32) / 256.0
 
 
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """(doc_id, frame_idx, frame binary) — deterministic fixed-stride
+    "frame sampling" over the opaque payload: the video-analog plumbing
+    (one input row → n output rows, binary slices, stable ordering).
+    A real decoder would replace the byte-slicing with keyframe
+    extraction; schema, batching, and explode shape are the contract.
+    """
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                stride = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    rows.append({
+                        "doc_id": int(doc_id),
+                        "frame_idx": i,
+                        "frame": raw[i * stride : i * stride + stride],
+                    })
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(batches, schema=schema)
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """(doc_id, feat array<float>) via Arrow-batched mapInPandas.
 

@@ -36,7 +36,7 @@ def _normalize(rows, columns):
 
 
 #: deliberately rows-only (no portable oracle SQL): bit ops / UDF features
-ROWS_ONLY = {"simhash", "media_features"}
+ROWS_ONLY = {"simhash", "media_features", "media_frames"}
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
