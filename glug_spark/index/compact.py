@@ -33,7 +33,7 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
     term = pdf["term"].iloc[0]
 
     ids_l, tfs_l, dls_l, pos_l = [], [], [], []
-    for _, row in pdf.iterrows():
+    for row in pdf.to_dict("records"):
         ids, tfs, dls = codec.decode_segment(row)
         plists = codec.decode_positions(row["positions"], tfs)
         ids_l.append(ids)

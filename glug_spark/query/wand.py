@@ -74,13 +74,17 @@ def _merge_term_rows(rows: pd.DataFrame) -> dict[str, dict]:
     out: dict[str, dict] = {}
     for term, grp in rows.groupby("term", sort=False):
         ids_l, tfs_l, dls_l, maxtf = [], [], [], 0
-        for _, row in grp.iterrows():
-            ids, tfs, dls = codec.decode_segment(row)
+        for gaps, tfb, dlb, bmt in zip(
+            grp["doc_gaps"], grp["tfs"], grp["dls"], grp["block_max_tf"]
+        ):
+            ids = codec.delta_decode(codec.varbyte_decode(gaps)).astype(np.int64)
+            tfs = codec.varbyte_decode(tfb).astype(np.int64)
+            dls = codec.varbyte_decode(dlb).astype(np.int64)
             ids_l.append(ids)
             tfs_l.append(tfs)
             dls_l.append(dls)
-            if len(row["block_max_tf"]):
-                maxtf = max(maxtf, int(max(row["block_max_tf"])))
+            if len(bmt):
+                maxtf = max(maxtf, int(max(bmt)))
         ids = np.concatenate(ids_l)
         order = np.argsort(ids, kind="stable")
         out[term] = {
@@ -115,7 +119,7 @@ def _conjunctive_blocks(rows_by_term: pd.DataFrame, terms: list[str]) -> dict[st
     for term, grp in rows_by_term.groupby("term", sort=False):
         # (row, block_first, block_last) per block across segment rows
         entries = []
-        for _, row in grp.iterrows():
+        for row in grp.to_dict("records"):
             last = np.asarray(row["block_last"], dtype=np.int64)
             if not len(last):
                 continue
@@ -341,9 +345,12 @@ def phrase_docs_indexed(
         per_term: dict[str, dict] = {}
         for term, grp in pdf.groupby("term", sort=False):
             ids_l, tfs_l, pos_l = [], [], []
-            for _, row in grp.iterrows():
-                ids, tfs, _ = codec.decode_segment(row)
-                plists = codec.decode_positions(row["positions"], tfs)
+            for gaps, tfb, posb in zip(
+                grp["doc_gaps"], grp["tfs"], grp["positions"]
+            ):
+                ids = codec.delta_decode(codec.varbyte_decode(gaps)).astype(np.int64)
+                tfs = codec.varbyte_decode(tfb).astype(np.int64)
+                plists = codec.decode_positions(posb, tfs)
                 ids_l.append(ids)
                 tfs_l.append(tfs)
                 pos_l.extend(plists)
