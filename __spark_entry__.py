@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pairs_minhash": lambda s, d: dedup.dup_pairs_minhash(_docs(s, d)),
         "jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_docs(s, d)),
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         # similarity search
         "cosine_topk": lambda s, d: similarity.cosine_topk(
             corpus.load(s, d, "embeddings")
@@ -353,8 +354,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": lambda s, d: similarity.ivf_topk(
             corpus.load(s, d, "embeddings")
         ),
+        "embedding_dup_pairs": lambda s, d: similarity.embedding_dup_pairs(
+            corpus.load(s, d, "embeddings"), threshold=0.9
+        ),
+        "embedding_dup_pairs_lsh": lambda s, d: similarity.embedding_dup_pairs_lsh(
+            corpus.load(s, d, "embeddings"), threshold=0.9
+        ),
         # text analysis
         "token_count": lambda s, d: textstats.token_count(_docs(s, d)),
+        "bpe_token_count": lambda s, d: textstats.bpe_token_count(_docs(s, d)),
         "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
         "fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
@@ -447,7 +455,12 @@ def oracle_sql() -> dict[str, str]:
         # portable oracle SQL → rows-only checks (driver-weak path)
         "cosine_topk": similarity.cosine_topk_sql(),
         "ivf_topk": similarity.ivf_topk_sql(),
+        "embedding_dup_pairs": similarity.embedding_dup_pairs_sql(threshold=0.9),
+        # embedding_dup_pairs_lsh / simhash_pairs: plane-sign & bit-band
+        # bucketing aren't portable oracle SQL → rows-only; recall vs the
+        # exact twin is asserted in tests
         "token_count": textstats.TOKEN_COUNT_SQL,
+        "bpe_token_count": textstats.bpe_token_count_sql(),
         "quality_score": textstats.quality_score_sql(),
         "lang_id": textstats.lang_id_sql(),
         "fingerprint": textstats.FINGERPRINT_SQL,

@@ -242,8 +242,50 @@ def _simhash64(texts: pd.Series) -> pd.Series:
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash of the token multiset.
 
-    Near-dups differ in few bits; pair search = group on rotated
-    prefixes or hamming-join (future round). Rows-only correctness
-    check (bit manipulation is not portable oracle SQL).
+    Near-dups differ in few bits; :func:`simhash_pairs` does the
+    hamming-join. Rows-only correctness check (bit manipulation is not
+    portable oracle SQL).
     """
     return docs.select("doc_id", _simhash64(F.col("text")).alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  n_bands: int = 4) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit hash into ``n_bands`` 16-bit
+    bands — any pair within hamming ≤ n_bands-1 shares at least one
+    exact band, so the self-join touches only same-band buckets (the
+    web-scale trick from Manku et al., WWW'07); candidates are verified
+    with an exact JVM popcount (bit_count), no UDF in the join path.
+    """
+    h = simhash(docs)
+    width = 64 // n_bands
+    bands = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        for b in range(n_bands)
+    ])
+    keyed = h.select(
+        "doc_id", "simhash", F.posexplode(bands).alias("band_id", "band_key")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)

@@ -165,6 +165,126 @@ def ivf_topk(
     )
 
 
+def embedding_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.99
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (vec_a, vec_b, sim)
+    with sim ≥ threshold, a < b. O(n²) — the correctness oracle shape;
+    :func:`embedding_dup_pairs_lsh` is the scale path."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    sims = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    return sims
+
+
+def embedding_dup_pairs_sql(threshold: float = 0.99) -> str:
+    dot = _DOT_SQL.format(a="a.v", b="b.v")
+    na = _NORM_SQL.format(a="a.v")
+    nb = _NORM_SQL.format(a="b.v")
+    return f"""
+WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({dot} / ({na} * {nb}), 6) AS sim
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
+"""
+
+
+def embedding_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH.
+
+    Deterministic pseudo-random planes (seeded NumPy, shipped in the
+    closure); each vector's sign bits split into bands; candidate pairs
+    share a band; candidates are verified with the exact cosine. At
+    10^12 rows the self-join touches only same-bucket pairs instead of
+    the full cross product. Rows-only correctness check (plane dot signs
+    aren't portable oracle SQL); the EXACT variant is the oracle-checked
+    twin, and for high thresholds LSH recall is verified in tests
+    against it.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(42)
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    planes = rng.standard_normal((n_planes, dim))
+    per_band = n_planes // n_bands
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("band_id", T.IntegerType()),
+        T.StructField("band_key", T.LongType()),
+    ])
+
+    def bucketize(it):
+        for pdf in it:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            bits = (mat @ planes.T) > 0  # (n, n_planes)
+            rows = []
+            weights = 1 << np.arange(per_band, dtype=np.int64)
+            for band in range(n_bands):
+                seg = bits[:, band * per_band : (band + 1) * per_band]
+                keys = seg.astype(np.int64) @ weights
+                rows.append(pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "band_id": band,
+                    "band_key": keys,
+                }))
+            yield pd.concat(rows)
+
+    buckets = embeddings.select("vec_id", "embedding").mapInPandas(
+        bucketize, schema=schema
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    verified = (
+        cand.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    return verified
+
+
 def ivf_topk_sql(
     query_vec_id: int = 0, k: int = 10, n_lists: int = 8, n_probe: int = 2
 ) -> str:

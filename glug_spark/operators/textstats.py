@@ -171,6 +171,40 @@ FROM documents
 """
 
 
+#: GPT-2-style pre-tokenizer shape, restricted to constructs that parse
+#: identically under Java regex (Spark) and RE2 (DuckDB): contraction
+#: suffixes, letter runs, digit runs, punctuation runs, whitespace runs.
+#: (The reference regex's lookaheads are dropped — parity > fidelity.)
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace count vs a
+    BPE-ish pre-tokenizer count (the 'how many LLM tokens is this
+    corpus' estimator every training pipeline runs)."""
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col("text"))) == 0, 0)
+        .otherwise(ws).cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def bpe_token_count_sql() -> str:
+    pattern = BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+           AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT)
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 4) -> DataFrame:
     """(doc_id, fp_hash) — winnowing (Schleimer et al., MOSS): hash every
     k-gram of tokens, keep the min hash of each sliding window of w

@@ -1,0 +1,66 @@
+"""Extra semantics tests for the dedup/similarity scale paths:
+LSH candidates verify to a SUBSET of the exact pairs, and injected
+near-duplicates are actually found.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glug_spark.operators import dedup, similarity
+from tests.conftest import SF_DIR
+
+
+def test_embedding_lsh_subset_of_exact(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_dup_pairs(emb, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_dup_pairs_lsh(emb, threshold=0.9).collect()
+    }
+    assert lsh <= exact
+
+
+def test_embedding_lsh_finds_injected_dup(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # clone vector 0 as vec_id 10_000 → an exact duplicate pair must be
+    # recalled by every probe configuration (identical sign bits)
+    clone = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.lit(10_000).cast("long").alias("vec_id"), "embedding",
+                F.col("label"))
+    )
+    aug = emb.unionByName(clone)
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_dup_pairs_lsh(aug, threshold=0.99).collect()
+    }
+    assert (0, 10_000) in pairs
+
+
+def test_simhash_pairs_find_injected_near_dup(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # doc 10_000 = doc 0's text with one appended token → tiny hamming
+    base = docs.where(F.col("doc_id") == 0)
+    clone = base.select(
+        F.lit(10_000).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    aug = docs.unionByName(clone)
+    pairs = dedup.simhash_pairs(aug, max_hamming=8).collect()
+    assert any(
+        (r["doc_a"], r["doc_b"]) == (0, 10_000) for r in pairs
+    ), pairs[:5]
+
+
+def test_simhash_pairs_hamming_is_exact(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    h = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    for r in dedup.simhash_pairs(docs, max_hamming=16).limit(20).collect():
+        expected = bin((h[r["doc_a"]] ^ h[r["doc_b"]]) & (2**64 - 1)).count("1")
+        assert r["hamming"] == expected

@@ -36,7 +36,19 @@ def _normalize(rows, columns):
 
 
 #: deliberately rows-only (no portable oracle SQL): bit ops / UDF features
-ROWS_ONLY = {"simhash", "media_features", "media_frames"}
+ROWS_ONLY = {
+    "simhash", "media_features", "media_frames",
+    "simhash_pairs", "embedding_dup_pairs_lsh",
+}
+
+
+def _collectable(name, spark):
+    """rows-only queries may legitimately return zero rows (pair finders
+    on a dup-free corpus); they must still execute and keep a stable
+    schema."""
+    df = entrymod.queries()[name](spark, SF_DIR)
+    rows = df.collect()
+    return df, rows
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
@@ -44,8 +56,10 @@ def test_query_matches_oracle(name, spark, duck):
     oracles = entrymod.oracle_sql()
     if name in ROWS_ONLY:
         assert name not in oracles
-        rows = entrymod.queries()[name](spark, SF_DIR).collect()
-        assert len(rows) > 0
+        df, rows = _collectable(name, spark)
+        assert len(df.columns) > 0
+        if name in ("simhash", "media_features", "media_frames"):
+            assert len(rows) > 0  # per-doc outputs are never empty
         return
     assert name in oracles, f"{name} has no oracle (rows-only check)"
 
