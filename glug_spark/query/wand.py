@@ -69,31 +69,58 @@ def _upper_bound(max_tf: float, idf: float) -> float:
     return idf * (max_tf * (K1 + 1.0)) / (max_tf + K1 * (1.0 - B))
 
 
-def _merge_term_rows(rows: pd.DataFrame) -> dict[str, dict]:
-    """Segment rows → per-term concatenated-decoded arrays (sorted)."""
-    out: dict[str, dict] = {}
-    for term, grp in rows.groupby("term", sort=False):
-        ids_l, tfs_l, dls_l, maxtf = [], [], [], 0
-        for gaps, tfb, dlb, bmt in zip(
-            grp["doc_gaps"], grp["tfs"], grp["dls"], grp["block_max_tf"]
-        ):
-            ids = codec.delta_decode(codec.varbyte_decode(gaps)).astype(np.int64)
-            tfs = codec.varbyte_decode(tfb).astype(np.int64)
-            dls = codec.varbyte_decode(dlb).astype(np.int64)
-            ids_l.append(ids)
-            tfs_l.append(tfs)
-            dls_l.append(dls)
-            if len(bmt):
-                maxtf = max(maxtf, int(max(bmt)))
-        ids = np.concatenate(ids_l)
-        order = np.argsort(ids, kind="stable")
-        out[term] = {
-            "ids": ids[order],
-            "tfs": np.concatenate(tfs_l)[order],
-            "dls": np.concatenate(dls_l)[order],
-            "max_tf": maxtf,
-        }
-    return out
+def _sorted_lists(parts) -> dict:
+    ids_l, tfs_l, dls_l = parts
+    if not ids_l:
+        z = np.zeros(0, np.int64)
+        return {"ids": z, "tfs": z.copy(), "dls": z.copy()}
+    ids = np.concatenate(ids_l)
+    order = np.argsort(ids, kind="stable")
+    return {
+        "ids": ids[order],
+        "tfs": np.concatenate(tfs_l)[order],
+        "dls": np.concatenate(dls_l)[order],
+    }
+
+
+def _decode_full(grp: pd.DataFrame) -> dict:
+    """All rows of one term fully decoded, doc_id-sorted."""
+    ids_l, tfs_l, dls_l = [], [], []
+    for gaps, tfb, dlb in zip(grp["doc_gaps"], grp["tfs"], grp["dls"]):
+        ids_l.append(codec.delta_decode(codec.varbyte_decode(gaps)).astype(np.int64))
+        tfs_l.append(codec.varbyte_decode(tfb).astype(np.int64))
+        dls_l.append(codec.varbyte_decode(dlb).astype(np.int64))
+    return _sorted_lists((ids_l, tfs_l, dls_l))
+
+
+def _decode_covering(grp: pd.DataFrame, targets: np.ndarray) -> dict:
+    """Block-selective decode: only the blocks that can contain a target
+    doc_id are touched (the block-max skip — a frequent term's long list
+    is read a few 128-posting blocks at a time, not end to end)."""
+    if not len(targets):
+        return _sorted_lists(([], [], []))
+    ids_l, tfs_l, dls_l = [], [], []
+    for row in grp.to_dict("records"):
+        block_last = np.asarray(row["block_last"], dtype=np.int64)
+        if not len(block_last):
+            continue
+        blocks = np.unique(np.searchsorted(block_last, targets, side="left"))
+        blocks = blocks[blocks < len(block_last)]
+        if not len(blocks):
+            continue
+        ids, tfs, dls = codec.decode_blocks(row, blocks)
+        ids_l.append(ids)
+        tfs_l.append(tfs)
+        dls_l.append(dls)
+    return _sorted_lists((ids_l, tfs_l, dls_l))
+
+
+def _term_max_tf(grp: pd.DataFrame) -> int:
+    maxtf = 0
+    for bmt in grp["block_max_tf"]:
+        if len(bmt):
+            maxtf = max(maxtf, int(max(bmt)))
+    return maxtf
 
 
 def _score_candidates(cand: np.ndarray, lists: dict[str, dict],
@@ -179,18 +206,27 @@ def make_segment_scorer(terms: list[str], idfs: dict[str, float], avgdl: float,
                 cand = cand[np.isin(cand, p["ids"], assume_unique=True)]
             scores = _score_candidates(cand, lists, idfs, avgdl)
         else:
-            lists = _merge_term_rows(pdf)
+            # --- block-max MaxScore with lazy, block-selective decode ---
+            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
             ubs = {
-                t: _upper_bound(lst["max_tf"], idfs[t]) for t, lst in lists.items()
+                t: _upper_bound(_term_max_tf(g), idfs[t])
+                for t, g in groups.items()  # metadata only, no blob decode
             }
-            by_ub = sorted(lists, key=lambda t: -ubs[t])
-            # pass 1: exact scores for the top-ub term's docs seed θ
+            by_ub = sorted(groups, key=lambda t: -ubs[t])
+
+            # pass 1: fully decode ONLY the top-ub term; its docs seed θ.
+            # Other terms contribute via block-selective decode covering
+            # the seed ids (skipped blocks are never even varbyte-decoded).
+            lists = {by_ub[0]: _decode_full(groups[by_ub[0]])}
             seed = lists[by_ub[0]]["ids"]
+            for t in by_ub[1:]:
+                lists[t] = _decode_covering(groups[t], seed)
             seed_scores = _score_candidates(seed, lists, idfs, avgdl)
             if len(seed_scores) >= k:
                 theta = np.partition(seed_scores, -k)[-k]
             else:
                 theta = -np.inf
+
             # non-essential suffix: the maximal low-ub suffix with Σub < θ —
             # a doc found ONLY in those lists is bounded below θ, so the
             # candidate set is the union of the remaining (essential) lists
@@ -203,7 +239,16 @@ def make_segment_scorer(terms: list[str], idfs: dict[str, float], avgdl: float,
                     essential.append(t)
             if not essential:
                 essential = [by_ub[0]]
+
+            # essential terms (candidate generators) need their full lists;
+            # non-essential terms only need blocks covering the candidates
+            for t in essential:
+                if t != by_ub[0]:
+                    lists[t] = _decode_full(groups[t])
             cand = np.unique(np.concatenate([lists[t]["ids"] for t in essential]))
+            for t in by_ub:
+                if t not in essential:
+                    lists[t] = _decode_covering(groups[t], cand)
             scores = _score_candidates(cand, lists, idfs, avgdl)
 
         # segment-local top-k in the GLOBAL order (score desc, doc_id asc):
