@@ -164,6 +164,29 @@ def _q_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_index_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed glob expansion from the index: the matched vocabulary
+    is broadcast-joined onto the posting scan (never collected to the
+    driver). Oracle = the same SQL as bm25_glob (rank-identity)."""
+    from glug_spark.query import wand
+
+    return wand.glob_topk(
+        spark, _index_dir(spark, sf_dir), Q_GLOB, k=10, n_buckets=8
+    )
+
+
+def _q_search_mixed_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed INDEX path: glob group + negation + phrase answered
+    from the encoded index with filters applied inside the MaxScore
+    kernel (exact — no heuristic candidate pool). Oracle = the same SQL
+    as search_mixed (the full-scan path's oracle)."""
+    from glug_spark.query.execute import search_indexed
+
+    return search_indexed(
+        spark, _index_dir(spark, sf_dir), SEARCH_MIXED_QUERY, k=10, n_buckets=8
+    )
+
+
 def _q_term_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit two-phase salted aggregation (SURVEY §2.3 salt_repartition):
     partial per (term, salt) then final per term — the classic shape for
@@ -333,6 +356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # end-to-end encoded-index path (build → WAND / position lists)
         "index_wand_topk": _q_index_wand,
         "index_phrase": _q_index_phrase,
+        "index_glob": _q_index_glob,
+        "search_mixed_indexed": _q_search_mixed_indexed,
         # glug filter semantics over paths
         "selectfilter": _q_selectfilter,
         "typetag_select": _q_typetag_select,
@@ -441,6 +466,8 @@ def oracle_sql() -> dict[str, str]:
         "search_mixed": _search_mixed_oracle(),
         "index_wand_topk": bm25.bm25_topk_sql(Q_OR, k=100),
         "index_phrase": bm25.phrase_docs_sql(Q_PHRASE),
+        "index_glob": bm25.bm25_glob_topk_sql(Q_GLOB, k=10),
+        "search_mixed_indexed": _search_mixed_oracle(),
         "selectfilter": _select_oracle(SELECT_EXPR),
         "typetag_select": _select_oracle(TYPETAG_EXPR),
         "ignore_admission": _ignore_oracle(),

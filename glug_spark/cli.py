@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     ls.add_argument("expression")
     ls.add_argument("--input", required=True)
 
+    c = sub.add_parser("compact", help="merge fragmented tail posting runs")
+    c.add_argument("--index", required=True)
+    c.add_argument("--min-run", type=int, default=64)
+    c.add_argument("--merge-factor", type=int, default=32)
+
     args = parser.parse_args(argv)
 
     from glug_spark.session import get_spark
@@ -64,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()
             for r in rows:
                 print(f"{r['rank']}\t{r['doc_id']}\t{r['score']}")
+        elif args.command == "compact":
+            from glug_spark.index.compact import compact_index
+
+            print(json.dumps(compact_index(
+                spark, args.index,
+                min_run=args.min_run, merge_factor=args.merge_factor,
+            )))
         elif args.command == "list":
             from glug_spark import corpus
             from glug_spark.operators import pathfilter

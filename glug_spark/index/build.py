@@ -119,7 +119,7 @@ GROUP BY term, doc_id
 """
 
 TERM_STATS_SQL = f"""
-SELECT term, count(*) AS df, sum(tf) AS cf
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
 FROM ({POSTINGS_SQL})
 GROUP BY term
 """

@@ -4,14 +4,38 @@ The zero-shuffle build writes one run per (term, segment-batch). Head
 terms produce full runs everywhere (good — that's the parallel fan-out),
 but TAIL terms produce one tiny run per segment they appear in: at
 10^12 docs with ~10^6 segments, a df=10^6 term owns 10^6 metadata rows
-of a few postings each. Compaction rewrites, per bucket, every term
-whose average run is smaller than ``min_run`` into a single merged run
-(segment = -1), decoding → doc_id-sorted merge → re-encode, positions
-included. Query results are unaffected (the reader already merges runs
-in any segment arrangement); only row count and read amplification
-drop. Runs one groupBy(bucket, term) over the *encoded* rows — tiny
-next to the corpus — and is itself skew-free (head terms keep their
-segmented layout and skip the merge entirely).
+of a few postings each.
+
+Correctness invariant (why the obvious fix is wrong): the query path
+scores doc-space partitions independently (``groupBy`` on a segment
+key), so ALL terms' postings for one doc must land under the SAME key.
+Merging a tail term's runs into a synthetic global segment while head
+terms keep their per-segment rows would split a doc's postings across
+keys — wrong scores (disjunctive) or false-empties (conjunctive /
+phrase).
+
+Design (LSM-style segment coarsening):
+
+1. ``segmap/`` — a tiny parquet (one row per ORIGINAL segment) mapping
+   ``segment → grp``. Compaction chunks the current groups, sorted, into
+   ``merge_factor``-sized super-groups (grp id = smallest member).
+   Repeated compactions compose (the map is always original→current).
+2. Fragmented runs — (bucket, term, grp) groups with >1 run and a mean
+   run below ``min_run`` — are decoded, doc_id-merge-sorted and
+   re-encoded into ONE run stored with ``segment = grp``. A grp id is
+   itself an original segment id, so the map covers rewritten rows too.
+3. Head terms are NOT rewritten: the reader already concatenates a
+   term's runs within a scoring group, so their fine-grained rows stay
+   byte-identical on disk and simply co-group under the coarser key.
+
+Every query path maps ``segment → grp`` (identity when no ``segmap/``
+exists) before its ``groupBy`` — see ``query.wand.scoring_group_col``.
+The invariant "scoring groups partition doc space" therefore survives
+any number of compactions, for any mix of merged and unmerged terms.
+
+Scale: the planning aggregate runs over the *encoded* rows (metadata,
+tiny next to the corpus); the rewrite itself touches only fragmented
+tail runs and is skew-free (head terms skip the merge entirely).
 """
 
 from __future__ import annotations
@@ -26,11 +50,14 @@ from pyspark.sql import SparkSession, functions as F
 from glug_spark.index import codec
 from glug_spark.index.pipeline import ENCODED_SCHEMA
 
+SEGMAP_DIR = "segmap"
+
 
 def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
-    """All runs of one term (within a bucket) → one compacted run."""
+    """All fragmented runs of one (bucket, term, grp) → one merged run."""
     bucket = int(pdf["bucket"].iloc[0])
     term = pdf["term"].iloc[0]
+    grp = int(pdf["grp"].iloc[0])
 
     ids_l, tfs_l, dls_l, pos_l = [], [], [], []
     for row in pdf.to_dict("records"):
@@ -58,50 +85,95 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
     run = runs[0]
     run.pop("run_start")
     return pd.DataFrame([{
-        "bucket": bucket, "term": term, "segment": -1,
+        "bucket": bucket, "term": term, "segment": grp,
         "cf_local": int(tfs.sum()), **run,
     }])
+
+
+def read_segmap(spark: SparkSession, index_dir: str):
+    """The segment→grp map, or None if the index was never compacted."""
+    path = os.path.join(index_dir, SEGMAP_DIR)
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
 
 
 def compact_index(
     spark: SparkSession,
     index_dir: str,
     min_run: int = 64,
+    merge_factor: int = 32,
 ) -> dict:
-    """Rewrite ``postings/`` with fragmented tail terms merged.
+    """Coarsen the scoring segmentation and merge fragmented tail runs.
 
-    A term is compacted when its mean run length < ``min_run`` AND it
-    has more than one run. Returns before/after row counts.
+    A run group is compacted when it has more than one run AND its mean
+    run length < ``min_run``. Returns before/after row counts.
     """
+    from glug_spark.query import wand as _wand  # segmap cache invalidation
+
     src = os.path.join(index_dir, "postings")
     enc = spark.read.parquet(src)
 
-    per_term = enc.groupBy("bucket", "term").agg(
-        F.count(F.lit(1)).alias("n_runs"),
-        F.sum("df_local").alias("df"),
+    # --- 1. coarsen the segmentation (compose with any existing map) ---
+    old_map = read_segmap(spark, index_dir)
+    if old_map is None:
+        segs = enc.select(F.col("segment").alias("segment")).distinct()
+        old_map = segs.withColumn("grp", F.col("segment"))
+    pairs = old_map.collect()  # one row per ORIGINAL segment: metadata-scale
+    cur_grps = sorted({int(r["grp"]) for r in pairs})
+    regroup = {
+        g: cur_grps[(i // merge_factor) * merge_factor]
+        for i, g in enumerate(cur_grps)
+    }
+    new_map = [(int(r["segment"]), regroup[int(r["grp"])]) for r in pairs]
+    segmap_df = spark.createDataFrame(new_map, "segment long, grp long")
+
+    # --- 2. merge fragmented (bucket, term, grp) run groups ------------
+    enc_g = enc.join(F.broadcast(segmap_df), "segment", "left").withColumn(
+        "grp", F.coalesce("grp", "segment")
     )
-    tail = per_term.where(
-        (F.col("n_runs") > 1) & (F.col("df") / F.col("n_runs") < min_run)
-    ).select("bucket", "term")
+    tail = (
+        enc_g.groupBy("bucket", "term", "grp")
+        .agg(F.count(F.lit(1)).alias("n_runs"), F.sum("df_local").alias("df"))
+        .where((F.col("n_runs") > 1) & (F.col("df") / F.col("n_runs") < min_run))
+        .select("bucket", "term", "grp")
+    )
+    keys = ["bucket", "term", "grp"]
+    fragmented = enc_g.join(F.broadcast(tail), keys, "left_semi")
+    untouched = enc_g.join(F.broadcast(tail), keys, "left_anti")
 
-    fragmented = enc.join(F.broadcast(tail), ["bucket", "term"], "left_semi")
-    untouched = enc.join(F.broadcast(tail), ["bucket", "term"], "left_anti")
-
-    merged = fragmented.groupBy("bucket", "term").applyInPandas(
+    merged = fragmented.groupBy(*keys).applyInPandas(
         _merge_term, schema=ENCODED_SCHEMA
     )
 
     before = enc.count()
+    cols = [f.name for f in ENCODED_SCHEMA]
     tmp = os.path.join(index_dir, "postings_compacted")
     (
-        untouched.select([f.name for f in ENCODED_SCHEMA])
-        .unionByName(merged)
+        untouched.select(cols)
+        .unionByName(merged.select(cols))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(tmp)
     )
     after = spark.read.parquet(tmp).count()
 
+    # --- 3. publish: segmap first (it is correct for BOTH layouts — the
+    # old rows also group consistently under the coarser map), then swap
+    segmap_tmp = os.path.join(index_dir, SEGMAP_DIR + "_tmp")
+    segmap_df.write.mode("overwrite").parquet(segmap_tmp)
+    segmap_path = os.path.join(index_dir, SEGMAP_DIR)
+    if os.path.exists(segmap_path):
+        shutil.rmtree(segmap_path)
+    os.rename(segmap_tmp, segmap_path)
+
     shutil.rmtree(src)
     os.rename(tmp, src)
-    return {"rows_before": before, "rows_after": after, "min_run": min_run}
+    _wand.invalidate_segmap_cache(index_dir)
+    return {
+        "rows_before": before,
+        "rows_after": after,
+        "min_run": min_run,
+        "merge_factor": merge_factor,
+        "groups": len({g for _, g in new_map}),
+    }

@@ -80,69 +80,28 @@ def search(docs: DataFrame, query: str, k: int = 10) -> DataFrame:
 def search_indexed(spark, index_dir: str, query: str, k: int = 10,
                    n_buckets: int = 16):
     """Index-backed :func:`search`: same glug-dialect queries answered
-    from the encoded index (rank-identical to the full-scan path).
+    from the encoded index — EXACT and rank-identical to the full-scan
+    path (differential tests assert it).
 
-    Term groups/negation/phrases compose over the index primitives:
-    - positive scoring: MaxScore over the union of group terms (globs
-      expand against the vocabulary),
-    - per-group AND filtering: semi-join on each group's matched docs,
-    - negation: anti-join on docs containing a negated term,
-    - phrase: semi-join on position-list adjacency matches.
+    One distributed pass (query.wand.composed_topk): term roles — group
+    bitmask, negation flag, phrase membership, idf — are computed
+    JVM-side on term_stats and broadcast-joined onto the posting scan
+    (globs expand against the vocabulary without any driver collect),
+    and the group/negation/phrase filters run INSIDE the MaxScore
+    kernel, before θ-seeding and before each doc-space group's local
+    top-k. A selective filter therefore can never starve the result —
+    there is no heuristic candidate pool to exhaust.
     """
-    from pyspark.sql import Window as W
-
     from glug_spark.query import wand
     from glug_spark.query.parser import parse_query
-    from glug_spark.semantics.glob import full_match_regex
 
     plan = parse_query(query)
-
-    def expand_members(members: list[tuple[str, str]]) -> list[str]:
-        terms = [v for kind, v in members if kind == "term"]
-        globs = [v for kind, v in members if kind == "glob"]
-        if globs:
-            stats = spark.read.parquet(f"{index_dir}/term_stats")
-            pred = F.lit(False)
-            for g in globs:
-                pred = pred | F.col("term").rlike(full_match_regex(g))
-            terms += [r["term"] for r in stats.where(pred).select("term").collect()]
-        return list(dict.fromkeys(terms))
-
-    group_terms = [expand_members(grp) for grp in plan.groups]
-    phrase_terms = [w_ for ph in plan.phrases for w_ in ph]
-    all_terms = list(dict.fromkeys(
-        [t for g in group_terms for t in g] + phrase_terms
-    ))
-    if not all_terms:
+    if not plan.groups and not plan.phrases:
         raise ValueError(f"query has no positive constraint: {query!r}")
-
-    # oversample so group/negation/phrase filters can't starve top-k:
-    # per-segment candidates are exact for the unfiltered union, so pull
-    # a deep pool and filter it (k_pool bounded; exactness verified by
-    # the differential tests)
-    pool = wand.wand_topk(spark, index_dir, all_terms, k=max(10 * k, 100),
-                          n_buckets=n_buckets).select("doc_id", "score")
-
-    def docs_matching(terms: list[str]):
-        return wand.docs_with_any(spark, index_dir, terms, n_buckets)
-
-    out = pool
-    for terms in group_terms:
-        if terms:
-            out = out.join(docs_matching(terms), "doc_id", "left_semi")
-        else:
-            return spark.createDataFrame([], "rank int, doc_id long, score double")
-    neg_terms = expand_members(plan.negations)
-    if neg_terms:
-        out = out.join(docs_matching(neg_terms), "doc_id", "left_anti")
-    for phrase in plan.phrases:
-        out = out.join(
-            wand.phrase_docs_indexed(spark, index_dir, phrase, n_buckets),
-            "doc_id", "left_semi",
-        )
-
-    topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.select(
-        F.row_number().over(w).alias("rank"), "doc_id", "score"
+    return wand.composed_topk(
+        spark, index_dir,
+        groups=plan.groups,
+        negations=plan.negations,
+        phrases=plan.phrases,
+        k=k, n_buckets=n_buckets,
     )

@@ -76,6 +76,12 @@ def parse_query(
             in_quote = not in_quote
             continue
         (current if in_quote else rest).append(ch)
+    if in_quote and current:
+        # unclosed quote: treat the buffered tail as a phrase rather than
+        # silently dropping it ('foo "bar baz' keeps bar baz)
+        phrase = "".join(current).split()
+        if phrase:
+            plan.phrases.append(phrase)
     conjuncts = "".join(rest).split()
 
     for conjunct in conjuncts:

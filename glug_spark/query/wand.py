@@ -1,27 +1,35 @@
-"""Index-backed top-k: segment-distributed MaxScore with block-max skip.
+"""Index-backed top-k: group-distributed MaxScore with block-max skip.
 
 Query plan:
 
-1. term→bucket via the same ``pmod(xxhash64(term), n_buckets)`` used at
-   build → the posting scan prunes to the query terms' bucket
-   partitions (partition pruning; everything else is never read).
-2. term stats (df, idf) — a handful of rows, collected and closed over.
-3. posting rows group by ``segment`` → ``applyInPandas`` scores each
-   doc-space segment independently (segments partition doc space, so
-   per-segment top-k sets cover the global top-k superset exactly).
+1. term→bucket via the same md5-derived bucket used at build
+   (``pipeline.bucket_col`` / ``python_bucket`` — driver-computable, so
+   the posting scan prunes to the query terms' bucket partitions with
+   zero planning cost; everything else is never read).
+2. term stats (df, idf): explicit terms close over a handful of
+   collected rows; glob queries stay fully distributed — the matched
+   vocabulary is joined in as an ``idf`` column, never collected.
+3. posting rows group by their SCORING GROUP → ``applyInPandas`` scores
+   each doc-space group independently (groups partition doc space —
+   also after compaction, via the ``segmap`` segment→grp mapping — so
+   per-group top-k sets cover the global top-k superset exactly).
 4. global ``orderBy(score desc, doc_id).limit(k)`` → TakeOrdered merge.
 
-Inside a segment (NumPy, vectorized):
+Inside a group (NumPy, vectorized):
 
-- conjunctive: block-level skip — only blocks whose doc ranges
-  intersect across ALL terms are decoded (``codec.decode_blocks``),
-  then exact id intersection and full scoring.
+- conjunctive: block-level skip — only blocks whose doc ranges can
+  intersect every term's covered range are decoded
+  (``codec.decode_blocks``), then exact id intersection, full scoring.
 - disjunctive: MaxScore — score the highest-upper-bound term's docs
   exactly to seed the threshold θ; terms whose upper-bound suffix sum
   < θ become non-essential; only docs present in essential lists can
   enter the top-k (docs absent from all essential lists are bounded by
   Σ non-essential ubs < θ). Exact, with whole lists of frequent terms
   skipped at the candidate-generation stage.
+- composed (``composed_topk``): group/negation/phrase filters are
+  applied INSIDE the scorer, before θ-seeding and before the per-group
+  top-k — the returned top-k is exact under filtering (no heuristic
+  candidate pool; a selective filter can never starve the result).
 
 Scores are the same double math as the full-scan reference scorer
 (query.bm25) — rank-identical output is asserted by tests, mirroring
@@ -45,6 +53,8 @@ _SCORE_SCHEMA = T.StructType([
 
 #: collection stats are immutable per index build → cache per index_dir
 _COLLECTION_CACHE: dict[str, dict] = {}
+#: segment→grp map (None = never compacted); invalidated by compaction
+_SEGMAP_CACHE: dict[str, object] = {}
 
 
 def _collection(spark: SparkSession, index_dir: str) -> dict:
@@ -53,6 +63,29 @@ def _collection(spark: SparkSession, index_dir: str) -> dict:
         row = spark.read.parquet(f"{index_dir}/collection").collect()[0].asDict()
         _COLLECTION_CACHE[index_dir] = row
     return row
+
+
+def invalidate_segmap_cache(index_dir: str) -> None:
+    _SEGMAP_CACHE.pop(index_dir, None)
+
+
+def with_scoring_group(spark: SparkSession, index_dir: str, rows: DataFrame) -> DataFrame:
+    """Attach the scoring-group key ``grp``.
+
+    Uncompacted index: grp = segment (identity, no join). Compacted:
+    broadcast-join the tiny ``segmap/`` (one row per original segment)
+    so all runs of a coarsened group — merged or untouched — co-group.
+    """
+    if index_dir not in _SEGMAP_CACHE:
+        from glug_spark.index.compact import read_segmap
+
+        _SEGMAP_CACHE[index_dir] = read_segmap(spark, index_dir)
+    m = _SEGMAP_CACHE[index_dir]
+    if m is None:
+        return rows.withColumn("grp", F.col("segment"))
+    return rows.join(F.broadcast(m), "segment", "left").withColumn(
+        "grp", F.coalesce("grp", F.col("segment"))
+    )
 
 
 def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> dict[str, int]:
@@ -123,17 +156,35 @@ def _term_max_tf(grp: pd.DataFrame) -> int:
     return maxtf
 
 
+def _first_doc_id(doc_gaps: bytes) -> int:
+    """First doc_id of a run = first varbyte value − 1 (no full decode)."""
+    val, shift = 0, 0
+    for byte in doc_gaps:
+        val |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return val - 1
+
+
+def _member_mask(lst: dict, cand: np.ndarray) -> np.ndarray:
+    """Boolean membership of each candidate in a decoded (sorted) list."""
+    ids = lst["ids"]
+    if not len(ids):
+        return np.zeros(len(cand), dtype=bool)
+    pos = np.minimum(np.searchsorted(ids, cand), len(ids) - 1)
+    return ids[pos] == cand
+
+
 def _score_candidates(cand: np.ndarray, lists: dict[str, dict],
                       idfs: dict[str, float], avgdl: float) -> np.ndarray:
     scores = np.zeros(len(cand), dtype=np.float64)
     for term, lst in lists.items():
-        pos = np.searchsorted(lst["ids"], cand)
-        pos_c = np.minimum(pos, len(lst["ids"]) - 1) if len(lst["ids"]) else pos
-        hit = len(lst["ids"]) > 0
-        if not hit:
+        if not len(lst["ids"]):
             continue
-        mask = lst["ids"][pos_c] == cand
-        contrib = _contribution(lst["tfs"][pos_c], lst["dls"][pos_c],
+        pos = np.minimum(np.searchsorted(lst["ids"], cand), len(lst["ids"]) - 1)
+        mask = lst["ids"][pos] == cand
+        contrib = _contribution(lst["tfs"][pos], lst["dls"][pos],
                                 idfs[term], avgdl)
         scores += np.where(mask, contrib, 0.0)
     return scores
@@ -141,31 +192,41 @@ def _score_candidates(cand: np.ndarray, lists: dict[str, dict],
 
 def _conjunctive_blocks(rows_by_term: pd.DataFrame, terms: list[str]) -> dict[str, dict]:
     """Block-skip decode for AND queries: a term's block is decoded only
-    if its doc range can intersect every other term's covered ranges."""
+    if its doc range can intersect every other term's covered range.
+
+    The candidate doc range is [lo, hi] where lo = max over terms of the
+    term's smallest covered doc_id (true first id, decoded from the
+    run's first varbyte — no sentinel) and hi = min over terms of the
+    term's largest covered doc_id. Blocks outside [lo, hi] are skipped
+    without touching their bytes.
+    """
     metas = {}
     for term, grp in rows_by_term.groupby("term", sort=False):
-        # (row, block_first, block_last) per block across segment rows
+        # (row, block_first_lower_bound, block_last) per block across runs
         entries = []
         for row in grp.to_dict("records"):
             last = np.asarray(row["block_last"], dtype=np.int64)
             if not len(last):
                 continue
             first = np.empty_like(last)
-            first[0] = -(2**62)
+            first[0] = _first_doc_id(row["doc_gaps"])
             first[1:] = last[:-1] + 1
             entries.append((row, first, last))
         metas[term] = entries
 
-    # global candidate range intersection: [max of min-last, min of max-last]
-    lo = max(
-        (min(e[1][0] for e in entries) for entries in metas.values() if entries),
-        default=0,
-    )
+    term_mins, term_maxs = [], []
+    for entries in metas.values():
+        if entries:
+            term_mins.append(min(int(e[1][0]) for e in entries))
+            term_maxs.append(max(int(e[2][-1]) for e in entries))
+    lo = max(term_mins, default=0)
+    hi = min(term_maxs, default=-1)
+
     decoded: dict[str, dict] = {}
     for term, entries in metas.items():
         ids_l, tfs_l, dls_l, maxtf = [], [], [], 0
         for row, first, last in entries:
-            keep = np.flatnonzero(last >= lo)  # cheap range prune
+            keep = np.flatnonzero((last >= lo) & (first <= hi))
             if not len(keep):
                 continue
             ids, tfs, dls = codec.decode_blocks(row, keep)
@@ -187,6 +248,92 @@ def _conjunctive_blocks(rows_by_term: pd.DataFrame, terms: list[str]) -> dict[st
     return decoded
 
 
+def _empty_scores() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": [], "raw_score": []}).astype(
+        {"doc_id": "int64", "raw_score": "float64"}
+    )
+
+
+def _maxscore_pass(groups: dict, idfs: dict[str, float], avgdl: float, k: int,
+                   passes_filter=None, predecoded: dict | None = None):
+    """Shared MaxScore kernel: exact top-k candidates + scores for one
+    doc-space group, with an optional doc-level filter applied BEFORE
+    θ-seeding and before the local top-k (keeps filtered top-k exact:
+    θ is the k-th best FILTERED seed score, so the Σ-non-essential-ub
+    < θ prune can only drop docs that cannot enter the filtered top-k).
+
+    ``passes_filter(cand, lists) -> bool mask`` sees the decoded lists
+    (every scored term's membership for ``cand`` is exact — covering
+    decode touches every block that could contain a candidate).
+    ``predecoded`` maps terms already fully decoded (e.g. phrase words).
+    Returns (cand, scores) filtered, unsorted.
+    """
+    predecoded = predecoded or {}
+    ubs = {
+        t: _upper_bound(_term_max_tf(g), idfs[t])
+        for t, g in groups.items()  # metadata only, no blob decode
+    }
+    by_ub = sorted(groups, key=lambda t: -ubs[t])
+
+    # pass 1: fully decode ONLY the top-ub term; its docs seed θ.
+    lists = dict(predecoded)
+    top = by_ub[0]
+    if top not in lists:
+        lists[top] = _decode_full(groups[top])
+    seed = lists[top]["ids"]
+    for t in by_ub[1:]:
+        if t not in lists:
+            lists[t] = _decode_covering(groups[t], seed)
+    seed_scores = _score_candidates(seed, lists, idfs, avgdl)
+    if passes_filter is not None:
+        ok = passes_filter(seed, lists)
+        fs = seed_scores[ok]
+    else:
+        fs = seed_scores
+    theta = np.partition(fs, -k)[-k] if len(fs) >= k else -np.inf
+
+    # non-essential suffix: the maximal low-ub suffix with Σub < θ —
+    # a doc found ONLY in those lists is bounded below θ, so the
+    # candidate set is the union of the remaining (essential) lists
+    essential = []
+    suffix_sum = 0.0
+    for t in reversed(by_ub):
+        if suffix_sum + ubs[t] < theta:
+            suffix_sum += ubs[t]
+        else:
+            essential.append(t)
+    if not essential:
+        essential = [top]
+
+    # essential terms (candidate generators) need their full lists;
+    # non-essential terms only need blocks covering the candidates
+    for t in essential:
+        if t != top and t not in predecoded:
+            lists[t] = _decode_full(groups[t])
+    cand = np.unique(np.concatenate([lists[t]["ids"] for t in essential]))
+    for t in by_ub:
+        if t not in essential and t not in predecoded:
+            lists[t] = _decode_covering(groups[t], cand)
+    if passes_filter is not None:
+        # refresh non-essential coverage for the wider candidate set,
+        # then keep only filter-passing candidates
+        ok = passes_filter(cand, lists)
+        cand = cand[ok]
+    scores = _score_candidates(cand, lists, idfs, avgdl)
+    return cand, scores
+
+
+def _local_topk(cand: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
+    # group-local top-k in the GLOBAL order (score desc, doc_id asc):
+    # the global top-k takes at most k rows from this group, and they
+    # are exactly the group's first k under the same order.
+    if len(cand) > k:
+        order = np.lexsort((cand, -scores))[:k]
+        cand, scores = cand[order], scores[order]
+    return pd.DataFrame({"doc_id": cand.astype("int64"),
+                         "raw_score": scores.astype("float64")})
+
+
 def make_segment_scorer(terms: list[str], idfs: dict[str, float], avgdl: float,
                         k: int, conjunctive: bool):
     uniq_terms = list(dict.fromkeys(terms))
@@ -198,69 +345,35 @@ def make_segment_scorer(terms: list[str], idfs: dict[str, float], avgdl: float,
             if len(present) < len(uniq_terms) or any(
                 len(p["ids"]) == 0 for p in present
             ):
-                return pd.DataFrame({"doc_id": [], "raw_score": []}).astype(
-                    {"doc_id": "int64", "raw_score": "float64"}
-                )
+                return _empty_scores()
             cand = present[0]["ids"]
             for p in present[1:]:
                 cand = cand[np.isin(cand, p["ids"], assume_unique=True)]
             scores = _score_candidates(cand, lists, idfs, avgdl)
         else:
-            # --- block-max MaxScore with lazy, block-selective decode ---
             groups = {t: g for t, g in pdf.groupby("term", sort=False)}
-            ubs = {
-                t: _upper_bound(_term_max_tf(g), idfs[t])
-                for t, g in groups.items()  # metadata only, no blob decode
-            }
-            by_ub = sorted(groups, key=lambda t: -ubs[t])
-
-            # pass 1: fully decode ONLY the top-ub term; its docs seed θ.
-            # Other terms contribute via block-selective decode covering
-            # the seed ids (skipped blocks are never even varbyte-decoded).
-            lists = {by_ub[0]: _decode_full(groups[by_ub[0]])}
-            seed = lists[by_ub[0]]["ids"]
-            for t in by_ub[1:]:
-                lists[t] = _decode_covering(groups[t], seed)
-            seed_scores = _score_candidates(seed, lists, idfs, avgdl)
-            if len(seed_scores) >= k:
-                theta = np.partition(seed_scores, -k)[-k]
-            else:
-                theta = -np.inf
-
-            # non-essential suffix: the maximal low-ub suffix with Σub < θ —
-            # a doc found ONLY in those lists is bounded below θ, so the
-            # candidate set is the union of the remaining (essential) lists
-            essential = []
-            suffix_sum = 0.0
-            for t in reversed(by_ub):
-                if suffix_sum + ubs[t] < theta:
-                    suffix_sum += ubs[t]
-                else:
-                    essential.append(t)
-            if not essential:
-                essential = [by_ub[0]]
-
-            # essential terms (candidate generators) need their full lists;
-            # non-essential terms only need blocks covering the candidates
-            for t in essential:
-                if t != by_ub[0]:
-                    lists[t] = _decode_full(groups[t])
-            cand = np.unique(np.concatenate([lists[t]["ids"] for t in essential]))
-            for t in by_ub:
-                if t not in essential:
-                    lists[t] = _decode_covering(groups[t], cand)
-            scores = _score_candidates(cand, lists, idfs, avgdl)
-
-        # segment-local top-k in the GLOBAL order (score desc, doc_id asc):
-        # the global top-k takes at most k rows from this segment, and they
-        # are exactly the segment's first k under the same order.
-        if len(cand) > k:
-            order = np.lexsort((cand, -scores))[:k]
-            cand, scores = cand[order], scores[order]
-        return pd.DataFrame({"doc_id": cand.astype("int64"),
-                             "raw_score": scores.astype("float64")})
+            cand, scores = _maxscore_pass(groups, idfs, avgdl, k)
+        return _local_topk(cand, scores, k)
 
     return score_segment
+
+
+def _ranked(topk: DataFrame) -> DataFrame:
+    # row_number over ≤k already-limited rows — the "No Partition
+    # Defined" WindowExec warning is expected and harmless here
+    w = Window.orderBy(F.desc("raw_score"), F.asc("doc_id"))
+    return topk.select(
+        F.row_number().over(w).alias("rank"),
+        F.col("doc_id"),
+        F.round(F.col("raw_score"), 6).alias("score"),
+    )
+
+
+_SCORING_COLS = [
+    "term", "segment", "df_local", "doc_gaps", "tfs", "dls",
+    "block_last", "block_max_tf",
+    "gap_offsets", "tf_offsets", "dl_offsets",
+]
 
 
 def wand_topk(
@@ -280,7 +393,7 @@ def wand_topk(
         spark.read.parquet(f"{index_dir}/term_stats")
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
         .select("term", "df", "idf")
-        .collect()
+        .collect()  # O(query terms), never corpus-sized
     )
     idfs = {r["term"]: r["idf"] for r in stats}
     if conjunctive and len(idfs) < len(uniq):
@@ -292,23 +405,231 @@ def wand_topk(
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(list(idfs)))
         # column-prune the positions blob (the largest column): scoring
         # never touches it — only the phrase path reads positions
-        .select(
-            "term", "segment", "df_local", "doc_gaps", "tfs", "dls",
-            "block_last", "block_max_tf",
-            "gap_offsets", "tf_offsets", "dl_offsets",
-        )
+        .select(*_SCORING_COLS)
     )
+    rows = with_scoring_group(spark, index_dir, rows)
     scorer = make_segment_scorer(uniq, idfs, avgdl, k, conjunctive)
-    per_segment = rows.groupBy("segment").applyInPandas(
+    per_group = rows.groupBy("grp").applyInPandas(
         lambda pdf: scorer(pdf), schema=_SCORE_SCHEMA
     )
-    topk = per_segment.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("raw_score"), F.asc("doc_id"))
-    return topk.select(
-        F.row_number().over(w).alias("rank"),
-        F.col("doc_id"),
-        F.round(F.col("raw_score"), 6).alias("score"),
+    return _ranked(per_group.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(k))
+
+
+# --- composed queries: groups + negation + phrase, filters exact --------
+
+def _member_pred(members: list[tuple[str, str]]):
+    """stats/postings `term` column predicate for group members."""
+    from glug_spark.semantics.glob import full_match_regex
+
+    terms = [v for kind, v in members if kind == "term"]
+    pred = F.col("term").isin(terms) if terms else F.lit(False)
+    for kind, v in members:
+        if kind == "glob":
+            pred = pred | F.col("term").rlike(full_match_regex(v))
+    return pred
+
+
+def _phrase_doc_ids(per_word: dict[str, dict], words: list[str]) -> np.ndarray:
+    """doc_ids containing the exact adjacent phrase — fully vectorized.
+
+    Encodes each (candidate-doc, canonical start position) as one uint64
+    key (dense doc index << 32 | start), then intersects the key sets
+    across words: word i at position p contributes start p − i. No
+    per-doc Python loop.
+    """
+    cand = per_word[words[0]]["ids"]
+    for w in words[1:]:
+        cand = cand[np.isin(cand, per_word[w]["ids"], assume_unique=True)]
+    if not len(cand):
+        return cand
+    L = np.uint64(len(words))  # offset keeps starts strictly positive
+
+    def keys(w: str, i: int) -> np.ndarray:
+        ids, plists = per_word[w]["ids"], per_word[w]["plists"]
+        sel = np.searchsorted(ids, cand)
+        lens = np.fromiter((len(plists[j]) for j in sel), dtype=np.int64,
+                           count=len(sel))
+        if not lens.sum():
+            return np.zeros(0, dtype=np.uint64)
+        flat = np.concatenate([plists[j] for j in sel]).astype(np.uint64)
+        docidx = np.repeat(np.arange(len(cand), dtype=np.uint64), lens)
+        return (docidx << np.uint64(32)) | (flat - np.uint64(i) + L)
+
+    surv = keys(words[0], 0)
+    for i, w in enumerate(words[1:], start=1):
+        surv = np.intersect1d(surv, keys(w, i), assume_unique=False)
+        if not len(surv):
+            break
+    return cand[np.unique((surv >> np.uint64(32)).astype(np.int64))]
+
+
+def _decode_full_with_positions(grp: pd.DataFrame) -> dict:
+    """Full decode incl. per-doc position lists (phrase words only)."""
+    ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+    for row in grp.to_dict("records"):
+        ids, tfs, dls = codec.decode_segment(row)
+        pos_l.extend(codec.decode_positions(row["positions"], tfs))
+        ids_l.append(ids)
+        tfs_l.append(tfs)
+        dls_l.append(dls)
+    ids = np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64)
+    order = np.argsort(ids, kind="stable")
+    return {
+        "ids": ids[order],
+        "tfs": (np.concatenate(tfs_l)[order] if tfs_l else np.zeros(0, np.int64)),
+        "dls": (np.concatenate(dls_l)[order] if dls_l else np.zeros(0, np.int64)),
+        "plists": [pos_l[i] for i in order],
+    }
+
+
+def make_composed_scorer(n_groups: int, phrases: list[list[str]],
+                         avgdl: float, k: int):
+    """Scorer for one doc-space group of a composed query.
+
+    Row columns carry the query roles, computed JVM-side and fully
+    distributed: ``idf`` (from term_stats), ``gmask`` (bit i set ⇔ term
+    is a member of group i), ``is_neg``, ``is_phrase``. Scored terms are
+    group members + phrase words (mirrors execute.search). Filters run
+    inside the MaxScore kernel → exact filtered top-k.
+    """
+    full_mask = (1 << n_groups) - 1
+    phrase_words = {w for ph in phrases for w in ph}
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        meta = pdf.drop_duplicates("term").set_index("term")
+        gmask = meta["gmask"].astype("int64").to_dict()
+        is_neg = meta["is_neg"].astype(bool).to_dict()
+        idfs = meta["idf"].astype(float).to_dict()
+        scored = [t for t in meta.index
+                  if gmask.get(t, 0) or t in phrase_words]
+        # a group with no member term present here admits no local docs
+        covered = 0
+        for t in scored:
+            covered |= gmask.get(t, 0)
+        if covered != full_mask or not scored:
+            return _empty_scores()
+        for ph in phrases:
+            if any(w not in meta.index for w in ph):
+                return _empty_scores()
+
+        rows_by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
+
+        # phrase words: full decode with positions (needed for adjacency
+        # anyway; they are scored terms too)
+        predecoded: dict[str, dict] = {
+            w: _decode_full_with_positions(rows_by_term[w])
+            for w in phrase_words if w in rows_by_term
+        }
+        phrase_ok: np.ndarray | None = None
+        for ph in phrases:
+            docs = _phrase_doc_ids(predecoded, ph)
+            phrase_ok = docs if phrase_ok is None else docs[
+                np.isin(docs, phrase_ok, assume_unique=True)
+            ]
+            if not len(phrase_ok):
+                return _empty_scores()
+
+        neg_terms = [t for t in meta.index if is_neg.get(t)]
+
+        def passes_filter(cand: np.ndarray, lists: dict) -> np.ndarray:
+            ok = np.ones(len(cand), dtype=bool)
+            if n_groups:
+                cover = np.zeros(len(cand), dtype=np.int64)
+                for t in scored:
+                    m = gmask.get(t, 0)
+                    if m and t in lists:
+                        cover |= np.where(_member_mask(lists[t], cand), m, 0)
+                ok &= cover == full_mask
+            if neg_terms:
+                negm = np.zeros(len(cand), dtype=bool)
+                for t in neg_terms:
+                    lst = (lists.get(t) if gmask.get(t, 0) or t in phrase_words
+                           else None)
+                    if lst is None:
+                        lst = _decode_covering(rows_by_term[t], cand)
+                    negm |= _member_mask(lst, cand)
+                ok &= ~negm
+            if phrase_ok is not None:
+                ok &= np.isin(cand, phrase_ok, assume_unique=True)
+            return ok
+
+        groups = {t: rows_by_term[t] for t in scored}
+        cand, scores = _maxscore_pass(
+            groups, idfs, avgdl, k,
+            passes_filter=passes_filter, predecoded=predecoded,
+        )
+        return _local_topk(cand, scores, k)
+
+    return score_group
+
+
+def composed_topk(
+    spark: SparkSession,
+    index_dir: str,
+    groups: list[list[tuple[str, str]]],
+    negations: list[tuple[str, str]] | None = None,
+    phrases: list[list[str]] | None = None,
+    k: int = 10,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Exact top-k for a composed query (AND of disjunctive groups,
+    minus negations, constrained by phrases), straight from the index.
+
+    Fully distributed glob expansion: the matched vocabulary never
+    reaches the driver — term_stats rows matching any member predicate
+    are broadcast-joined onto the posting scan, delivering idf and the
+    per-term role flags as columns. (The broadcast side is the MATCHED
+    vocabulary — query-sized for explicit terms, at worst vocab-subset-
+    sized for short-prefix globs; the posting side is never shuffled.)
+    """
+    negations = negations or []
+    phrases = phrases or []
+    phrase_words = list(dict.fromkeys(w for ph in phrases for w in ph))
+    if not groups and not phrase_words:
+        raise ValueError("composed query has no positive constraint")
+    if len(groups) > 62:
+        raise ValueError("too many conjunct groups (max 62)")
+
+    gmask_col = F.lit(0).cast("long")
+    for i, grp in enumerate(groups):
+        gmask_col = gmask_col + F.when(_member_pred(grp), F.lit(1 << i)
+                                       ).otherwise(F.lit(0)).cast("long")
+    is_neg_col = _member_pred(negations) if negations else F.lit(False)
+    is_phrase_col = (F.col("term").isin(phrase_words) if phrase_words
+                     else F.lit(False))
+
+    members = (
+        spark.read.parquet(f"{index_dir}/term_stats")
+        .select(
+            "term", "idf",
+            gmask_col.alias("gmask"),
+            is_neg_col.alias("is_neg"),
+            is_phrase_col.alias("is_phrase"),
+        )
+        .where((F.col("gmask") != 0) | F.col("is_neg") | F.col("is_phrase"))
     )
+
+    # bucket pruning: only possible when every member is an explicit term
+    all_members = ([m for g in groups for m in g] + negations
+                   + [("term", w) for w in phrase_words])
+    explicit_only = all(kind == "term" for kind, _ in all_members)
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    if explicit_only:
+        terms = [v for _, v in all_members]
+        buckets = sorted({python_bucket(t, n_buckets) for t in terms})
+        postings = postings.where(F.col("bucket").isin(buckets))
+
+    # column-prune positions unless a phrase actually needs them
+    cols = _SCORING_COLS + (["positions"] if phrases else [])
+    rows = postings.select(*cols).join(F.broadcast(members), "term")
+    rows = with_scoring_group(spark, index_dir, rows)
+
+    avgdl = _collection(spark, index_dir)["avgdl"]
+    scorer = make_composed_scorer(len(groups), phrases, avgdl, k)
+    per_group = rows.groupBy("grp").applyInPandas(
+        lambda pdf: scorer(pdf), schema=_SCORE_SCHEMA
+    )
+    return _ranked(per_group.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(k))
 
 
 def docs_with_any(
@@ -328,6 +649,7 @@ def docs_with_any(
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
         .select("segment", "doc_gaps")
     )
+    rows = with_scoring_group(spark, index_dir, rows)
 
     def decode(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = [
@@ -337,7 +659,7 @@ def docs_with_any(
         out = np.unique(np.concatenate(ids)) if ids else np.zeros(0, np.int64)
         return pd.DataFrame({"doc_id": out})
 
-    return rows.groupBy("segment").applyInPandas(
+    return rows.groupBy("grp").applyInPandas(
         lambda pdf: decode(pdf),
         schema=T.StructType([T.StructField("doc_id", T.LongType())]),
     ).distinct()
@@ -350,22 +672,12 @@ def glob_topk(
     k: int = 10,
     n_buckets: int = 16,
 ) -> DataFrame:
-    """Glob-pattern query from the index: expand the pattern against the
-    vocabulary (term_stats is vocab-sized — tiny next to the corpus),
-    then score the matching terms disjunctively."""
-    from glug_spark.semantics.glob import full_match_regex
-
-    pattern = full_match_regex(glob)
-    terms = [
-        r["term"]
-        for r in spark.read.parquet(f"{index_dir}/term_stats")
-        .where(F.col("term").rlike(pattern))
-        .select("term")
-        .collect()
-    ]
-    if not terms:
-        return spark.createDataFrame([], "rank int, doc_id long, score double")
-    return wand_topk(spark, index_dir, terms, k=k, n_buckets=n_buckets)
+    """Glob-pattern query from the index — one single-member group
+    through the composed path: the pattern expands against the
+    vocabulary DISTRIBUTED (term_stats join; nothing is collected)."""
+    return composed_topk(
+        spark, index_dir, groups=[[("glob", glob)]], k=k, n_buckets=n_buckets
+    )
 
 
 def phrase_docs_indexed(
@@ -383,49 +695,21 @@ def phrase_docs_indexed(
         .where(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
         .drop("bucket")
     )
+    rows = with_scoring_group(spark, index_dir, rows)
 
     words = list(phrase)
 
     def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        per_term: dict[str, dict] = {}
-        for term, grp in pdf.groupby("term", sort=False):
-            ids_l, tfs_l, pos_l = [], [], []
-            for gaps, tfb, posb in zip(
-                grp["doc_gaps"], grp["tfs"], grp["positions"]
-            ):
-                ids = codec.delta_decode(codec.varbyte_decode(gaps)).astype(np.int64)
-                tfs = codec.varbyte_decode(tfb).astype(np.int64)
-                plists = codec.decode_positions(posb, tfs)
-                ids_l.append(ids)
-                tfs_l.append(tfs)
-                pos_l.extend(plists)
-            ids = np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64)
-            per_term[term] = {"ids": ids, "plists": pos_l}
-        if any(w not in per_term or len(per_term[w]["ids"]) == 0 for w in words):
-            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
-
-        cand = per_term[words[0]]["ids"]
-        for w_ in words[1:]:
-            cand = cand[np.isin(cand, per_term[w_]["ids"], assume_unique=True)]
-        hits = []
-        index_of = {
-            w_: {int(d): i for i, d in enumerate(per_term[w_]["ids"])} for w_ in set(words)
+        per_word = {
+            term: _decode_full_with_positions(grp)
+            for term, grp in pdf.groupby("term", sort=False)
         }
-        for d in cand:
-            spots = per_term[words[0]]["plists"][index_of[words[0]][int(d)]]
-            spots = np.asarray(spots, dtype=np.int64)
-            for offset, w_ in enumerate(words[1:], start=1):
-                nxt = np.asarray(
-                    per_term[w_]["plists"][index_of[w_][int(d)]], dtype=np.int64
-                )
-                spots = spots[np.isin(spots + offset, nxt)]
-                if not len(spots):
-                    break
-            if len(spots):
-                hits.append(int(d))
+        if any(w not in per_word or len(per_word[w]["ids"]) == 0 for w in words):
+            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+        hits = _phrase_doc_ids(per_word, words)
         return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
 
-    matched = rows.groupBy("segment").applyInPandas(
+    matched = rows.groupBy("grp").applyInPandas(
         match_segment, schema=T.StructType([T.StructField("doc_id", T.LongType())])
     )
     return matched.orderBy("doc_id")

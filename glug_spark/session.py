@@ -36,6 +36,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # segment granularity of the zero-shuffle build (one segment per
+    # Arrow batch); overridable so small corpora can exercise the
+    # multi-segment layout from the CLI
+    arrow_batch = os.environ.get("SPARK_GRAFT_ARROW_BATCH")
+    if arrow_batch:
+        builder = builder.config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", arrow_batch
+        )
     # shuffle spill dir: prefer RAM-backed tmpfs — local-mode shuffles are
     # otherwise bottlenecked on shared disk bandwidth, which caps scaling
     # with cores (a real cluster gets NVMe/disk per executor instead)

@@ -1,5 +1,7 @@
 """Compaction must shrink fragmented runs and leave EVERY query result
-rank-identical (the reader's merge is layout-agnostic)."""
+rank-identical — including queries MIXING a compacted tail term with an
+uncompacted head term, which is exactly the case that breaks if merged
+runs escape the doc-space partitioning (the segmap invariant)."""
 
 from __future__ import annotations
 
@@ -7,10 +9,12 @@ import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
-from glug_spark.index.compact import compact_index
+from glug_spark.index.compact import compact_index, read_segmap
 from glug_spark.index.pipeline import build_index
 from glug_spark.query import bm25, wand
+from glug_spark.query.execute import search, search_indexed
 from tests.conftest import SF_DIR
 
 QUERIES = [
@@ -37,9 +41,40 @@ def compacted_index(spark):
     shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.fixture(scope="module")
+def mixed_index(spark):
+    """Compacted with a LOW min_run → tail terms merged, head terms
+    untouched: the postings mix segment=grp rows with original-segment
+    rows, and queries must still co-group them correctly."""
+    d = tempfile.mkdtemp(prefix="glug_mixed_")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "64")
+    try:
+        build_index(spark, SF_DIR, d, n_buckets=8)
+    finally:
+        spark.conf.set(key, prev)
+    # min_run=8 merges only the rare tail ('dup': ~29 postings spread
+    # over ~8 segments) and leaves every ~55-postings/segment term alone
+    summary = compact_index(spark, d, min_run=8, merge_factor=4)
+    yield d, summary
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_compaction_shrinks(spark, compacted_index):
     _, summary = compacted_index
     assert summary["rows_after"] < summary["rows_before"]
+
+
+def test_segmap_written_and_grouping_coarsened(spark, compacted_index):
+    d, summary = compacted_index
+    m = read_segmap(spark, d)
+    assert m is not None
+    rows = m.collect()
+    segs = {r["segment"] for r in rows}
+    grps = {r["grp"] for r in rows}
+    assert grps <= segs  # grp ids are original segment ids
+    assert len(grps) == summary["groups"] <= len(segs)
 
 
 @pytest.mark.parametrize("terms,k,conjunctive", QUERIES)
@@ -67,3 +102,106 @@ def test_compacted_phrase_identical(spark, compacted_index):
         for r in wand.phrase_docs_indexed(spark, d, ["table", "scan"], n_buckets=8).collect()
     ]
     assert actual == expected
+
+
+# --- the regression the old design had: mixed layouts ------------------
+
+def _layout(spark, d):
+    """term → (set of segment values, n_rows) from the postings files."""
+    rows = (
+        spark.read.parquet(f"{d}/postings")
+        .groupBy("term")
+        .agg(F.collect_set("segment").alias("segs"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {r["term"]: (set(r["segs"]), r["n"]) for r in rows}
+
+
+def test_mixed_layout_exists(spark, mixed_index):
+    """The fixture genuinely produces BOTH merged and untouched terms
+    (otherwise the mixed-query tests below prove nothing)."""
+    d, summary = mixed_index
+    assert summary["rows_after"] < summary["rows_before"]
+    m = {r["segment"]: r["grp"] for r in read_segmap(spark, d).collect()}
+    grp_ids = set(m.values())
+    layout = _layout(spark, d)
+    merged = {
+        t for t, (segs, n) in layout.items()
+        if segs <= grp_ids and t not in ("the", "data")
+    }
+    untouched_frag = {
+        t for t, (segs, n) in layout.items() if n > 1 and not segs <= grp_ids
+    }
+    assert "dup" in merged, f"tail term not compacted (merged={merged})"
+    assert untouched_frag, "no multi-run term left uncompacted"
+    # 'the' is a dense term — must stay fragmented (multi-run)
+    assert "the" in untouched_frag
+
+
+@pytest.mark.parametrize("terms,k,conjunctive", [
+    (["the", "dup"], 10, False),        # dense (uncompacted) + rare (merged)
+    (["the", "dup"], 10, True),
+    (["dup"], 50, False),               # merged term alone
+    (["data", "dup", "the"], 25, False),
+    (["data", "dup"], 10, True),
+])
+def test_mixed_compacted_uncompacted_rank_identical(
+    spark, mixed_index, terms, k, conjunctive
+):
+    d, _ = mixed_index
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expected = [
+        tuple(r)
+        for r in bm25.bm25_topk(docs, terms, k=k, conjunctive=conjunctive).collect()
+    ]
+    actual = [
+        tuple(r)
+        for r in wand.wand_topk(spark, d, terms, k=k, conjunctive=conjunctive,
+                                n_buckets=8).collect()
+    ]
+    assert actual == expected
+
+
+def test_mixed_phrase_identical(spark, mixed_index):
+    d, _ = mixed_index
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for phrase in (["table", "scan"], ["the", "the"]):
+        expected = [r["doc_id"] for r in bm25.phrase_docs(docs, phrase).collect()]
+        actual = [
+            r["doc_id"]
+            for r in wand.phrase_docs_indexed(spark, d, phrase, n_buckets=8).collect()
+        ]
+        assert actual == expected, phrase
+
+
+def test_mixed_composed_search_identical(spark, mixed_index):
+    d, _ = mixed_index
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for q in ('the "table scan"', "dat* -noise", "the -data", "data join"):
+        expected = [tuple(r) for r in search(docs, q, k=10).collect()]
+        actual = [
+            tuple(r)
+            for r in search_indexed(spark, d, q, k=10, n_buckets=8).collect()
+        ]
+        assert actual == expected, q
+
+
+def test_recompaction_composes(spark, mixed_index):
+    """A second compaction must compose the segment map (original→new)
+    and stay rank-identical."""
+    d, _ = mixed_index
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    compact_index(spark, d, min_run=1000, merge_factor=1000)
+    m = read_segmap(spark, d).collect()
+    assert len({r["grp"] for r in m}) == 1  # fully coarsened
+    for terms, k, conj in QUERIES:
+        expected = [
+            tuple(r)
+            for r in bm25.bm25_topk(docs, terms, k=k, conjunctive=conj).collect()
+        ]
+        actual = [
+            tuple(r)
+            for r in wand.wand_topk(spark, d, terms, k=k, conjunctive=conj,
+                                    n_buckets=8).collect()
+        ]
+        assert actual == expected, terms

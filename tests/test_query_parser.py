@@ -125,6 +125,14 @@ QUERIES = [
     '"table scan" merge',
     "data -the",
     "qu*",
+    # filter-starvation shapes: a head term scores everywhere but a
+    # selective phrase / broad negation rejects most of the pool — the
+    # exact top-k must survive (a heuristic candidate pool would not)
+    'the "table scan"',
+    "the -data",
+    "the -dat*",
+    "data,dat* -join",
+    '"the the" -data',
 ]
 
 
