@@ -394,12 +394,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": lambda s, d: textstats.winnow_fingerprints(
             _docs(s, d)
         ),
-        # multimodal plumbing
+        # multimodal plumbing (hashable oracle projections of the
+        # array/binary-valued operators)
         "media_metadata": lambda s, d: multimodal.media_metadata(_docs(s, d)),
-        "media_features": lambda s, d: multimodal.extract_features(
+        "media_features": lambda s, d: multimodal.feature_rows(
             multimodal.media_table(_docs(s, d))
         ),
-        "media_frames": lambda s, d: multimodal.sample_frames(
+        "media_frames": lambda s, d: multimodal.frame_digests(
             multimodal.media_table(_docs(s, d))
         ),
         # generic relational coverage
@@ -478,14 +479,14 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY doc_id, band_id",
         "dup_pairs_minhash": dedup.dup_pairs_minhash_sql(),
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
-        # simhash / media_features: bit-twiddling + UDF features are not
-        # portable oracle SQL → rows-only checks (driver-weak path)
+        "simhash": dedup.simhash_sql(),
+        "simhash_pairs": dedup.simhash_pairs_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
         "ivf_topk": similarity.ivf_topk_sql(),
         "embedding_dup_pairs": similarity.embedding_dup_pairs_sql(threshold=0.9),
-        # embedding_dup_pairs_lsh / simhash_pairs: plane-sign & bit-band
-        # bucketing aren't portable oracle SQL → rows-only; recall vs the
-        # exact twin is asserted in tests
+        "embedding_dup_pairs_lsh": similarity.embedding_dup_pairs_lsh_sql(
+            threshold=0.9
+        ),
         "token_count": textstats.TOKEN_COUNT_SQL,
         "bpe_token_count": textstats.bpe_token_count_sql(),
         "quality_score": textstats.quality_score_sql(),
@@ -493,6 +494,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": textstats.FINGERPRINT_SQL,
         "winnow_fingerprints": textstats.winnow_fingerprints_sql(),
         "media_metadata": multimodal.MEDIA_METADATA_SQL,
+        "media_features": multimodal.FEATURE_ROWS_SQL,
+        "media_frames": multimodal.frame_digests_sql(),
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "top_customers": relational.top_customers_sql(),
         "user_event_ranks": relational.USER_EVENT_RANKS_SQL,

@@ -60,6 +60,15 @@ def _headline(spark, sf_dir: str, index_dir: str):
         "phrase_indexed": lambda: wand.phrase_docs_indexed(
             spark, index_dir, ["table", "scan"], n_buckets=N_BUCKETS
         ),
+        "search_composed": lambda: __import__(
+            "glug_spark.query.execute", fromlist=["search_indexed"]
+        ).search_indexed(
+            spark, index_dir, 'dat* -noise "table scan"', k=10,
+            n_buckets=N_BUCKETS,
+        ),
+        "simhash": lambda: __import__(
+            "glug_spark.operators.dedup", fromlist=["simhash"]
+        ).simhash(spark.read.parquet(f"{sf_dir}/documents.parquet")),
         "selectfilter": lambda: entrymod.queries()["selectfilter"](spark, sf_dir),
     }
 

@@ -216,37 +216,135 @@ WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= {threshold}
 """
 
 
-# --- SimHash (Pandas UDF; rows-only check — bit ops aren't oracle-SQL) --
+# --- SimHash (Pandas UDF, batch-vectorized; md5-keyed → oracle-SQL) -----
 
 @F.pandas_udf(T.LongType())
 def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per text — O(batch) NumPy, no per-token Python.
+
+    Per Arrow batch: tokenize, ``pd.factorize`` to hash only the UNIQUE
+    tokens (Zipf makes uniques ≪ occurrences), build the (uniques, 64)
+    ±1 vote matrix once, then a single C-level scatter-add accumulates
+    every token occurrence's votes into its doc row. The hash of a
+    token is the big-endian first 8 bytes of md5 — reproducible in
+    oracle SQL (see ``simhash_sql``).
+    """
     import hashlib
     import re as _re
 
     pat = _re.compile(r"\w+", _re.UNICODE)
-
-    def one(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in pat.findall(text or ""):
-            h = int.from_bytes(
-                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits == 1, 1, -1)
-        out = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-        return out - 2**64 if out >= 2**63 else out  # to signed int64
-
-    return texts.map(one)
+    n = len(texts)
+    token_lists = [pat.findall(t or "") for t in texts]
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
+    flat = pd.Series(
+        [tok for lst in token_lists for tok in lst], dtype="object"
+    )
+    if not len(flat):
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    codes, uniques = pd.factorize(flat, sort=False)
+    digests = b"".join(
+        hashlib.md5(u.encode("utf-8")).digest()[:8] for u in uniques
+    )
+    hashes = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    votes = (
+        ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.float64)
+        * 2.0 - 1.0
+    )  # (uniques, 64) in {-1, +1}
+    # compress occurrences to (doc, code) pair counts (Zipf: pairs ≪
+    # tokens), then accumulate via per-bit bincount — C-speed weighted
+    # histograms beat np.add.at scatter by ~20×. Doubles are exact here
+    # (|votes·count| ≤ tokens/doc ≪ 2^53).
+    n_uniq = len(uniques)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    pair, pcounts = np.unique(
+        doc_idx * np.int64(n_uniq) + codes, return_counts=True
+    )
+    pdoc = (pair // n_uniq).astype(np.int64)
+    pcode = (pair % n_uniq).astype(np.int64)
+    w = pcounts.astype(np.float64)
+    acc = np.empty((n, 64), dtype=np.float64)
+    for j in range(64):
+        acc[:, j] = np.bincount(pdoc, weights=w * votes[pcode, j], minlength=n)
+    packed = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pd.Series(packed.view(np.int64))  # two's-complement reinterpret
 
 
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash of the token multiset.
 
     Near-dups differ in few bits; :func:`simhash_pairs` does the
-    hamming-join. Rows-only correctness check (bit manipulation is not
-    portable oracle SQL).
+    hamming-join.
     """
     return docs.select("doc_id", _simhash64(F.col("text")).alias("simhash"))
+
+
+#: oracle twin of _simhash64: per (doc, bit) vote sums over md5-derived
+#: 64-bit token hashes, packed to a signed BIGINT. 2^63/2^64 appear as
+#: exact HUGEINT literals.
+def simhash_sql() -> str:
+    from glug_spark.semantics.tokenize import TOKEN_PATTERN
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+    FROM documents
+),
+h AS (
+    SELECT doc_id, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS hv
+    FROM toks
+),
+acc AS (
+    SELECT doc_id, j,
+           sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+    FROM h CROSS JOIN range(64) t(j)
+    GROUP BY doc_id, j
+),
+packed AS (
+    SELECT doc_id,
+           sum(CASE WHEN votes > 0 THEN ((1::UBIGINT << j)::HUGEINT)
+               ELSE 0::HUGEINT END) AS u
+    FROM acc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(
+           CASE WHEN p.u >= 9223372036854775808::HUGEINT
+                THEN p.u - 18446744073709551616::HUGEINT
+                ELSE p.u END, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN packed p ON p.doc_id = d.doc_id
+"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+    """Oracle twin of :func:`simhash_pairs`: same pigeonhole banding and
+    popcount verify over the simhash oracle."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return f"""
+WITH sh AS ({simhash_sql()}),
+u AS (
+    SELECT doc_id,
+           (CASE WHEN simhash < 0
+                 THEN simhash::HUGEINT + 18446744073709551616::HUGEINT
+                 ELSE simhash::HUGEINT END)::UBIGINT AS uh
+    FROM sh
+),
+bands AS (
+    SELECT doc_id, uh, b.band_id,
+           (uh >> (b.band_id * {width})) & {mask} AS band_key
+    FROM u CROSS JOIN range({n_bands}) b(band_id)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.uh, b.uh)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,

@@ -144,3 +144,56 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.select("doc_id", "payload", "media_type").mapInPandas(
         batches, schema=schema
     )
+
+
+def feature_rows(media: DataFrame) -> DataFrame:
+    """(doc_id, dim, value) — :func:`extract_features` exploded to a
+    hashable relational shape (one row per vector component, rounded
+    doubles). This is the oracle-checked projection; the array form
+    stays available for pipeline composition."""
+    f = extract_features(media)
+    return f.select(
+        "doc_id",
+        F.posexplode(F.col("feat").cast("array<double>")).alias("dim", "value"),
+    ).select("doc_id", "dim", F.round("value", 6).alias("value"))
+
+
+#: oracle twin of feature_rows: the fake features are the md5 digest
+#: bytes of the payload / 256 — digest byte d is hex chars 2d+1..2d+2.
+FEATURE_ROWS_SQL = f"""
+WITH w AS ({corpus.WEBTEXT_SQL})
+SELECT doc_id,
+       CAST(j AS INT) AS dim,
+       round((('0x' || substr(md5(page), CAST(j * 2 + 1 AS INT), 2))::INT)
+             / 256.0, 6) AS value
+FROM w CROSS JOIN range({FEATURE_DIM}) t(j)
+"""
+
+
+def frame_digests(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """(doc_id, frame_idx, frame_md5, frame_len) — :func:`sample_frames`
+    projected to a hashable shape (binary slices digested)."""
+    fr = sample_frames(media, n_frames)
+    return fr.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("long").alias("frame_len"),
+    )
+
+
+def frame_digests_sql(n_frames: int = 4) -> str:
+    """Oracle twin of frame_digests. The corpus is pure ASCII (asserted
+    by the extract_roundtrip invariant + strlen==length on the data), so
+    VARCHAR substr slicing equals the Spark-side byte slicing."""
+    return f"""
+WITH w AS ({corpus.WEBTEXT_SQL}),
+s AS (SELECT doc_id, page, greatest(1, strlen(page) // {n_frames}) AS stride
+      FROM w)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       md5(substr(page, CAST(i * stride + 1 AS BIGINT), stride)) AS frame_md5,
+       CAST(strlen(substr(page, CAST(i * stride + 1 AS BIGINT), stride))
+            AS BIGINT) AS frame_len
+FROM s CROSS JOIN range({n_frames}) t(i)
+"""

@@ -202,56 +202,57 @@ WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
 """
 
 
+def lsh_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic random-hyperplane matrix, rounded to 6 decimals so
+    the exact same doubles can be embedded as literals in BOTH the Spark
+    plan and the oracle SQL (decimal-string parse is engine-identical)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    raw = rng.standard_normal((n_planes, dim))
+    return [[float(f"{x:.6f}") for x in row] for row in raw]
+
+
+def _plane_bits(planes: list[list[float]]) -> list[Column]:
+    """One boolean sign-bit column per plane — the dot product is the
+    SAME sequential JVM fold as _dot, so the oracle's list_reduce sees
+    bit-identical doubles (sign decisions can never diverge)."""
+    return [
+        _dot(F.col("v"), F.array(*[F.lit(x) for x in p])) > 0
+        for p in planes
+    ]
+
+
 def embedding_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.99,
     n_planes: int = 16,
     n_bands: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane LSH.
 
-    Deterministic pseudo-random planes (seeded NumPy, shipped in the
-    closure); each vector's sign bits split into bands; candidate pairs
-    share a band; candidates are verified with the exact cosine. At
-    10^12 rows the self-join touches only same-bucket pairs instead of
-    the full cross product. Rows-only correctness check (plane dot signs
-    aren't portable oracle SQL); the EXACT variant is the oracle-checked
-    twin, and for high thresholds LSH recall is verified in tests
-    against it.
+    Deterministic seeded planes (literal columns, JVM-side sequential
+    folds — no UDF, no collect); each vector's sign bits split into
+    ``n_bands`` bands; candidate pairs share a band bucket; candidates
+    are verified with the exact cosine. At 10^12 rows the self-join
+    touches only same-bucket pairs instead of the full cross product,
+    and AQE's skew join handles hot buckets.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    rng = np.random.default_rng(42)
-    dim = len(embeddings.select("embedding").first()["embedding"])
-    planes = rng.standard_normal((n_planes, dim))
+    planes = lsh_planes(dim, n_planes)
     per_band = n_planes // n_bands
+    bits = _plane_bits(planes)
 
-    schema = T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("band_id", T.IntegerType()),
-        T.StructField("band_key", T.LongType()),
-    ])
-
-    def bucketize(it):
-        for pdf in it:
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            bits = (mat @ planes.T) > 0  # (n, n_planes)
-            rows = []
-            weights = 1 << np.arange(per_band, dtype=np.int64)
-            for band in range(n_bands):
-                seg = bits[:, band * per_band : (band + 1) * per_band]
-                keys = seg.astype(np.int64) @ weights
-                rows.append(pd.DataFrame({
-                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
-                    "band_id": band,
-                    "band_key": keys,
-                }))
-            yield pd.concat(rows)
-
-    buckets = embeddings.select("vec_id", "embedding").mapInPandas(
-        bucketize, schema=schema
+    emb_v = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    band_cols = []
+    for b in range(n_bands):
+        key = F.lit(0).cast("long")
+        for j in range(per_band):
+            key = key + F.when(bits[b * per_band + j], F.lit(1 << j)
+                               ).otherwise(F.lit(0)).cast("long")
+        band_cols.append(key)
+    buckets = emb_v.select(
+        "vec_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_key")
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -283,6 +284,53 @@ def embedding_dup_pairs_lsh(
         .where(F.col("sim") >= threshold)
     )
     return verified
+
+
+def embedding_dup_pairs_lsh_sql(
+    threshold: float = 0.99,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+) -> str:
+    """Oracle twin of :func:`embedding_dup_pairs_lsh`: the same literal
+    plane matrix, the same sequential-fold dots (list_reduce), the same
+    banding and exact-cosine verify."""
+    planes = lsh_planes(dim, n_planes)
+    per_band = n_planes // n_bands
+
+    def plane_list(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    band_keys = []
+    for b in range(n_bands):
+        parts = []
+        for j in range(per_band):
+            dot = _DOT_SQL.format(a="v", b=plane_list(planes[b * per_band + j]))
+            parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        band_keys.append("CAST(" + " + ".join(parts) + " AS BIGINT)")
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, {band_keys[b]} AS band_key FROM emb"
+        for b in range(n_bands)
+    )
+    dot = _DOT_SQL.format(a="ea.v", b="eb.v")
+    na = _NORM_SQL.format(a="ea.v")
+    nb = _NORM_SQL.format(a="eb.v")
+    return f"""
+WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+bands AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, round({dot} / ({na} * {nb}), 6) AS sim
+FROM cand c
+JOIN emb ea ON ea.vec_id = c.vec_a
+JOIN emb eb ON eb.vec_id = c.vec_b
+WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
+"""
 
 
 def ivf_topk_sql(

@@ -58,6 +58,26 @@ def test_simhash_pairs_find_injected_near_dup(spark):
     ), pairs[:5]
 
 
+def test_embedding_lsh_candidates_match_oracle_nontrivially(spark, duck):
+    """At threshold 0 every shared-bucket pair is emitted — the
+    candidate SET (not just the verified survivors) must agree with the
+    oracle's literal-plane banding, proving the sign bits are engine-
+    identical and the green driver row isn't a trivial 0 == 0."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {
+        (r["vec_a"], r["vec_b"], r["sim"])
+        for r in similarity.embedding_dup_pairs_lsh(emb, threshold=0.0).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            similarity.embedding_dup_pairs_lsh_sql(threshold=0.0)
+        ).fetchall()
+    }
+    assert len(got) > 100  # non-trivial candidate volume
+    assert got == want
+
+
 def test_simhash_pairs_hamming_is_exact(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     h = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}

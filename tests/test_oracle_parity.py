@@ -35,33 +35,13 @@ def _normalize(rows, columns):
     return out
 
 
-#: deliberately rows-only (no portable oracle SQL): bit ops / UDF features
-ROWS_ONLY = {
-    "simhash", "media_features", "media_frames",
-    "simhash_pairs", "embedding_dup_pairs_lsh",
-}
-
-
-def _collectable(name, spark):
-    """rows-only queries may legitimately return zero rows (pair finders
-    on a dup-free corpus); they must still execute and keep a stable
-    schema."""
-    df = entrymod.queries()[name](spark, SF_DIR)
-    rows = df.collect()
-    return df, rows
-
-
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(name, spark, duck):
+    # every scoreboard query has a full value-hash oracle — no
+    # rows-only escape hatch (bit ops, UDF features and LSH banding are
+    # all expressed in portable SQL since round 2)
     oracles = entrymod.oracle_sql()
-    if name in ROWS_ONLY:
-        assert name not in oracles
-        df, rows = _collectable(name, spark)
-        assert len(df.columns) > 0
-        if name in ("simhash", "media_features", "media_frames"):
-            assert len(rows) > 0  # per-doc outputs are never empty
-        return
-    assert name in oracles, f"{name} has no oracle (rows-only check)"
+    assert name in oracles, f"{name} has no oracle"
 
     sdf = entrymod.queries()[name](spark, SF_DIR)
     spark_cols = [c.lower() for c in sdf.columns]
