@@ -86,7 +86,12 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
     run.pop("run_start")
     return pd.DataFrame([{
         "bucket": bucket, "term": term, "segment": grp,
-        "cf_local": int(tfs.sum()), **run,
+        "cf_local": int(tfs.sum()),
+        # lineage/n_docs_batch are build-resume metadata; the manifest
+        # (not the postings) is resume's source of truth, so merged
+        # rows carry inert values
+        "lineage": None, "n_docs_batch": 0,
+        **run,
     }])
 
 

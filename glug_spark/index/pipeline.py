@@ -61,7 +61,30 @@ ENCODED_SCHEMA = T.StructType([
     T.StructField("gap_offsets", T.ArrayType(T.LongType())),
     T.StructField("tf_offsets", T.ArrayType(T.LongType())),
     T.StructField("dl_offsets", T.ArrayType(T.LongType())),
+    # resume lineage (constant per segment; RLE-compressed by parquet,
+    # column-pruned from every query read): content identity of the
+    # input batch, so interrupted builds resume correctly even if the
+    # input split planning changes between runs
+    T.StructField("lineage", T.StringType()),
+    T.StructField("n_docs_batch", T.LongType()),
 ])
+
+#: segment-id namespace per build attempt: a resumed run salts its new
+#: segments into a fresh range so they can never collide with ids from
+#: a previous attempt whose split planning differed
+ATTEMPT_SPAN = 10_000_000_000
+
+
+def batch_lineage(files: list[str], first_doc: int, n_docs: int) -> str:
+    """Content identity of one input batch — md5 of (sorted source
+    files, first doc_id, row count). A completed batch is skipped on
+    resume iff the SAME rows would be re-encoded; any re-split batch
+    gets a different key and is re-encoded under a fresh attempt-salted
+    segment id (doc-space partitioning survives either way)."""
+    import hashlib
+
+    body = "|".join(sorted(set(files))) + f"|{first_doc}|{n_docs}"
+    return hashlib.md5(body.encode("utf-8")).hexdigest()
 
 
 def bucket_col(term_col: str = "term", n_buckets: int = 16) -> F.Column:
@@ -86,13 +109,14 @@ def python_bucket(term: str, n_buckets: int = 16) -> int:
 
 
 def _encode_doc_batch(pdf: pd.DataFrame, segment: int, n_buckets: int,
-                      pat: "re.Pattern[str]") -> pd.DataFrame:
+                      pat: "re.Pattern[str]", lineage: str = "") -> pd.DataFrame:
     """One batch of documents → encoded posting rows (segment = batch id).
 
     Tokenize (Python re, parity-tested against the JVM pattern), build
     postings via lexsort + run-length, varbyte-encode in two vectorized
     passes (codec.encode_runs). All O(tokens) work is NumPy.
     """
+    n_docs_batch = len(pdf)
     token_lists = [pat.findall(t or "") for t in pdf["text"]]
     counts = np.array([len(t) for t in token_lists], dtype=np.int64)
     total = int(counts.sum())
@@ -134,7 +158,8 @@ def _encode_doc_batch(pdf: pd.DataFrame, segment: int, n_buckets: int,
             bucket_of[term] = b
         rows.append({
             "bucket": b, "term": term, "segment": segment,
-            "cf_local": 0, **run,
+            "cf_local": 0, "lineage": lineage,
+            "n_docs_batch": n_docs_batch, **run,
         })
     out = pd.DataFrame(rows)
     # cf_local per term run = sum of the run's tf values
@@ -149,13 +174,19 @@ def _encode_doc_batch(pdf: pd.DataFrame, segment: int, n_buckets: int,
     return out
 
 
-def _make_partition_encoder(n_buckets: int, done_segments: set[int]):
+def _make_partition_encoder(n_buckets: int, done_lineages: set[str],
+                            attempt: int):
     """mapInPandas worker: encode each incoming document batch in place.
 
-    ZERO-shuffle build: segments are simply (input partition, batch)
-    ids — disjoint doc sets, which is all the query path requires (it
-    re-sorts a term's runs by doc_id when merging, and WAND scores
-    segments independently). Completed segments short-circuit (resume).
+    ZERO-shuffle build: segments are simply attempt-salted (input
+    partition, batch) ids — disjoint doc sets, which is all the query
+    path requires (it re-sorts a term's runs by doc_id when merging,
+    and WAND scores segments independently). Completed batches are
+    identified by CONTENT lineage (source files + first doc + count),
+    not by split-plan position, so resume skips exactly the batches
+    whose rows are already encoded — even if the split planning
+    changed, re-encoded batches land in a fresh segment-id namespace
+    and can never collide with a previous attempt's ids.
     """
     import re as _re
 
@@ -166,10 +197,17 @@ def _make_partition_encoder(n_buckets: int, done_segments: set[int]):
 
         pid = TaskContext.get().partitionId()
         for batch_no, pdf in enumerate(batches):
-            segment = pid * 100_000 + batch_no
-            if segment in done_segments or pdf.empty:
+            if pdf.empty:
                 continue
-            yield _encode_doc_batch(pdf, segment, n_buckets, pat)
+            lineage = batch_lineage(
+                list(pdf["_file"]), int(pdf["doc_id"].min()), len(pdf)
+            )
+            if lineage in done_lineages:
+                continue
+            segment = attempt * ATTEMPT_SPAN + pid * 100_000 + batch_no
+            yield _encode_doc_batch(
+                pdf.drop(columns=["_file"]), segment, n_buckets, pat, lineage
+            )
 
     return encode
 
@@ -188,15 +226,35 @@ def build_index(
     params_path = os.path.join(out_dir, "params")
     manifest_path = os.path.join(out_dir, "manifest")
 
-    done_segments: set[int] = set()
+    done_lineages: set[str] = set()
+    attempt = 0
+    already_covered = 0
     if resume and os.path.exists(params_path):
         p = spark.read.parquet(params_path).collect()[0]
         n_buckets, n_docs = p["n_buckets"], p["n_docs"]
         if os.path.exists(manifest_path):
-            done_segments = {
-                r["segment"]
-                for r in spark.read.parquet(manifest_path)
-                .select("segment").collect()
+            for r in (spark.read.parquet(manifest_path)
+                      .select("segment", "lineage", "n_docs_batch").collect()):
+                if r["lineage"]:
+                    done_lineages.add(r["lineage"])
+                already_covered += int(r["n_docs_batch"] or 0)
+                attempt = max(attempt, int(r["segment"]) // ATTEMPT_SPAN + 1)
+        if already_covered == n_docs:
+            # complete index: idempotent no-op (also protects against
+            # re-encoding everything when the batch config changed)
+            totals = spark.read.parquet(manifest_path).agg(
+                F.sum("n_postings").alias("postings"),
+                F.sum("n_tokens").alias("tokens"),
+                F.sum("encoded_bytes").alias("bytes"),
+                F.count(F.lit(1)).alias("segments"),
+            ).collect()[0]
+            return {
+                "n_docs": n_docs,
+                "n_postings": int(totals["postings"]),
+                "encoded_bytes": int(totals["bytes"]),
+                "segments": int(totals["segments"]),
+                "avgdl": float(totals["tokens"]) / n_docs,
+                "resumed_segments_skipped": len(done_lineages),
             }
     else:
         n_docs = docs.count()
@@ -211,12 +269,14 @@ def build_index(
     # parallel, no skew (docs partition uniformly regardless of term
     # distribution; head terms appear in EVERY segment, which is exactly
     # the fan-out that a term-keyed shuffle would have to salt for).
-    encoded = docs.select("doc_id", "text").mapInPandas(
-        _make_partition_encoder(n_buckets, done_segments),
+    encoded = docs.select(
+        "doc_id", "text", F.input_file_name().alias("_file")
+    ).mapInPandas(
+        _make_partition_encoder(n_buckets, done_lineages, attempt),
         schema=ENCODED_SCHEMA,
     )
     (
-        encoded.write.mode("append" if done_segments else "overwrite")
+        encoded.write.mode("append" if done_lineages else "overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "postings"))
     )
@@ -251,10 +311,27 @@ def build_index(
                 F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs"))
                 + F.sum(F.length("dls")) + F.sum(F.length("positions"))
             ).alias("encoded_bytes"),
+            F.first("lineage").alias("lineage"),
+            F.first("n_docs_batch").alias("n_docs_batch"),
         )
         .withColumn("input_path", F.lit(os.path.abspath(sf_dir)))
     )
     manifest.write.mode("overwrite").parquet(manifest_path)
+
+    # coverage validation: every corpus doc encoded exactly once. A
+    # resume whose split planning changed re-encodes any re-split batch
+    # under a fresh lineage — if a surviving OLD batch overlaps it, the
+    # doc totals diverge and we fail loudly instead of serving dupes.
+    covered = spark.read.parquet(manifest_path).agg(
+        F.sum("n_docs_batch")
+    ).collect()[0][0] or 0
+    n_docs_with_tokens = covered  # empty-token docs still count (len(pdf))
+    if resume and n_docs_with_tokens != n_docs:
+        raise RuntimeError(
+            f"resume coverage mismatch: {n_docs_with_tokens} docs encoded "
+            f"vs {n_docs} in corpus — input re-split across attempts; "
+            "rebuild without resume"
+        )
 
     totals = spark.read.parquet(manifest_path).agg(
         F.sum("n_postings").alias("postings"),
@@ -275,5 +352,5 @@ def build_index(
         "encoded_bytes": int(totals["bytes"]),
         "segments": int(totals["segments"]),
         "avgdl": avgdl,
-        "resumed_segments_skipped": len(done_segments),
+        "resumed_segments_skipped": len(done_lineages),
     }

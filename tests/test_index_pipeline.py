@@ -138,6 +138,46 @@ def test_resume_after_interruption(spark):
         shutil.rmtree(broken, ignore_errors=True)
 
 
+def test_resume_detects_resplit_input(spark):
+    """Resume is keyed on batch CONTENT lineage, not split-plan
+    position: if the input is re-split between attempts (different
+    Arrow batch size here), surviving old batches overlap re-encoded
+    ones and the build must fail loudly instead of serving duplicate
+    postings."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    d = tempfile.mkdtemp(prefix="glug_resplit_")
+    try:
+        spark.conf.set(key, "128")
+        build_index(spark, SF_DIR, d, n_buckets=8)
+
+        # amputate one segment's manifest row (simulated partial build)
+        segs = sorted(
+            r["segment"]
+            for r in spark.read.parquet(f"{d}/manifest").select("segment").collect()
+        )
+        assert len(segs) > 1
+        m = spark.read.parquet(f"{d}/manifest").where(
+            F.col("segment") != segs[0]
+        ).collect()
+        schema = spark.read.parquet(f"{d}/manifest").schema
+        shutil.rmtree(f"{d}/manifest")
+        spark.createDataFrame(m, schema).write.parquet(f"{d}/manifest")
+
+        # resume under DIFFERENT batching → lineages cannot line up
+        spark.conf.set(key, "64")
+        with pytest.raises(RuntimeError, match="coverage mismatch"):
+            build_index(spark, SF_DIR, d, n_buckets=8, resume=True)
+    finally:
+        spark.conf.set(key, prev)
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_resume_skips_completed_segments(spark, index_dir):
     # a fresh resume over a complete index redoes nothing
     summary = build_index(
