@@ -20,8 +20,41 @@ import sys
 
 from pyspark.sql import functions as F
 
+#: engine version (reference pins its own via xmake set_version; the
+#: surface contract is just that --version prints a bare tag)
+VERSION = "0.2.0"
+
+LICENSE = """--- glug_spark license ---
+
+MIT License. This engine re-implements the public behavior of the
+reference listing/filter semantics on Apache Spark; see README.md.
+"""
+
+
+def _print_tags() -> int:
+    """--help-tags: padded tag table (reference src/main.cpp:87-99)."""
+    from glug_spark.semantics.typetags import BUILTIN_TAGS
+
+    pad = max(len(t) for t in BUILTIN_TAGS)
+    for tag, globs in BUILTIN_TAGS.items():
+        print(f"{tag:{pad}}  {globs}")
+    return 0
+
 
 def main(argv: list[str] | None = None) -> int:
+    args_raw = sys.argv[1:] if argv is None else argv
+    # option-style escapes mirror the reference CLI (main.cpp:112-126):
+    # handled before argparse so they work from any position
+    if "--version" in args_raw:
+        print(VERSION)
+        return 0
+    if "--license" in args_raw:
+        print(LICENSE)
+        return 0
+    if "--help-tags" in args_raw:
+        return _print_tags()
+    argv = args_raw
+
     parser = argparse.ArgumentParser(prog="glug_spark")
     sub = parser.add_subparsers(dest="command", required=True)
 

@@ -276,3 +276,106 @@ def test_explorer_listing(spark, case_id, entries, root, expected):
     df = spark.createDataFrame(entries, "path string, kind string, content string")
     actual = [r["path"] for r in explore(df, root).collect()]
     assert actual == expected, case_id
+
+
+# --- remaining reference cases: empty-dir recursion + select filters ----
+# (reference test_filesystem_explorer.cpp:206-224 and :519-558)
+
+_SELECT_TREE_REL = [
+    (".gitignore", "file", "*.generated.*\n*.log"),
+    ("src", "dir", None),
+    ("src/main.cpp", "file", None),
+    ("src/foo.cpp", "file", None),
+    ("include", "dir", None),
+    ("include/foo.hpp", "file", None),
+    ("include/foo.generated.hpp", "file", None),
+    ("include/detail", "dir", None),
+    ("include/detail/impl.hpp", "file", None),
+    ("test", "dir", None),
+    ("test/data", "dir", None),
+    ("test/data/curl.py", "file", None),
+    ("test/run.py", "file", None),
+    ("test/results.log", "file", None),
+    ("run_tests.py", "file", None),
+]
+
+
+def _select_tree(root: str):
+    return [(root, "dir", None)] + [
+        (f"{root}/{p}", k, c) for p, k, c in _SELECT_TREE_REL
+    ]
+
+
+EXTRA_CASES = [
+    (
+        "recurse_empty_after_empty",
+        [
+            ("r1", "dir", None),
+            ("r1/a", "dir", None), ("r1/a/b", "dir", None),
+            ("r1/a/b/c", "dir", None), ("r1/x", "dir", None),
+        ],
+        "r1", None, [],
+    ),
+    (
+        "recurse_nonempty_after_empty",
+        [
+            ("r2", "dir", None),
+            ("r2/a", "dir", None), ("r2/a/b", "dir", None),
+            ("r2/a/b/c", "dir", None),
+            ("r2/x", "dir", None), ("r2/x/y", "dir", None),
+            ("r2/x/y/z", "file", None),
+        ],
+        "r2", None, ["r2/x/y/z"],
+    ),
+    (
+        "select_cpp",
+        _select_tree("select_cpp"), "select_cpp", "*.cpp,*.hpp,-main.*",
+        [
+            "select_cpp/include/foo.hpp",
+            "select_cpp/include/detail/impl.hpp",
+            "select_cpp/src/foo.cpp",
+        ],
+    ),
+    (
+        "select_dir",
+        _select_tree("select_dir"), "select_dir", "test/",
+        [
+            # Selecting directory does not prevent searching root
+            "select_dir/.gitignore",
+            "select_dir/run_tests.py",
+            "select_dir/test/run.py",
+        ],
+    ),
+    (
+        "select_dir_content",
+        _select_tree("select_dir_content"), "select_dir_content", "test/*",
+        ["select_dir_content/test/run.py"],
+    ),
+    (
+        "select_dir_content_recursive",
+        _select_tree("select_dir_content_recursive"),
+        "select_dir_content_recursive", "test/**",
+        [
+            "select_dir_content_recursive/test/run.py",
+            "select_dir_content_recursive/test/data/curl.py",
+        ],
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "case_id,entries,root,select_expr,expected",
+    EXTRA_CASES,
+    ids=[c[0] for c in EXTRA_CASES],
+)
+def test_explorer_extra_reference_cases(
+    spark, case_id, entries, root, select_expr, expected
+):
+    from glug_spark.operators.pathfilter import compile_select
+
+    df = spark.createDataFrame(entries, "path string, kind string, content string")
+    # anchored select patterns resolve against the explore root (the
+    # reference CLI runs with cwd = tree root)
+    select = compile_select(select_expr, anchor=root) if select_expr else None
+    actual = [r["path"] for r in explore(df, root, select=select).collect()]
+    assert actual == expected, case_id
