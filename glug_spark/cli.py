@@ -79,6 +79,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--min-run", type=int, default=64)
     c.add_argument("--merge-factor", type=int, default=32)
 
+    ing = sub.add_parser(
+        "ingest", help="stream newly-arrived documents into the index"
+    )
+    ing.add_argument("--input", required=True,
+                     help="arrivals directory (watched recursively)")
+    ing.add_argument("--index", required=True)
+    ing.add_argument("--buckets", type=int, default=16)
+
     args = parser.parse_args(argv)
 
     from glug_spark.session import get_spark
@@ -102,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()
             for r in rows:
                 print(f"{r['rank']}\t{r['doc_id']}\t{r['score']}")
+        elif args.command == "ingest":
+            from glug_spark.streaming.ingest import ingest_available
+
+            print(json.dumps(ingest_available(
+                spark, args.input, args.index, n_buckets=args.buckets,
+            )))
         elif args.command == "compact":
             from glug_spark.index.compact import compact_index
 

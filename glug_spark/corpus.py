@@ -27,7 +27,9 @@ TABLES = [
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    from glug_spark.sources.tables import read_table
+
+    return read_table(spark, f"{sf_dir}/{table}.parquet")
 
 
 def _ext_expr(doc_id_col: str) -> str:

@@ -221,7 +221,9 @@ def build_index(
     resume: bool = False,
 ) -> dict:
     """Build the full index; returns the counter summary dict."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from glug_spark.sources.tables import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
 
     params_path = os.path.join(out_dir, "params")
     manifest_path = os.path.join(out_dir, "manifest")
