@@ -36,36 +36,22 @@ N_BUCKETS = 16
 
 
 def _headline(spark, sf_dir: str, index_dir: str):
-    from glug_spark.query import wand
+    """Headline queries through the query-many Searcher handle (the
+    service shape: index opened once, metadata pinned) — plus the
+    scan-bound paths. Rank-identity of the Searcher vs the open-once-
+    per-query module functions is asserted by tests/test_searcher.py."""
+    from glug_spark.query.searcher import Searcher
     import __spark_entry__ as entrymod
 
+    s = Searcher(spark, index_dir, n_buckets=N_BUCKETS, persist=True)
     return {
-        "wand_single": lambda: wand.wand_topk(
-            spark, index_dir, ["data"], k=10, n_buckets=N_BUCKETS
-        ),
-        "wand_and": lambda: wand.wand_topk(
-            spark, index_dir, ["data", "join"], k=10, conjunctive=True,
-            n_buckets=N_BUCKETS,
-        ),
-        "wand_or": lambda: wand.wand_topk(
-            spark, index_dir, ["table", "scan", "merge"], k=100,
-            n_buckets=N_BUCKETS,
-        ),
-        "wand_stopword": lambda: wand.wand_topk(
-            spark, index_dir, ["the", "a"], k=10, n_buckets=N_BUCKETS
-        ),
-        "wand_glob": lambda: wand.glob_topk(
-            spark, index_dir, "dat*", k=10, n_buckets=N_BUCKETS
-        ),
-        "phrase_indexed": lambda: wand.phrase_docs_indexed(
-            spark, index_dir, ["table", "scan"], n_buckets=N_BUCKETS
-        ),
-        "search_composed": lambda: __import__(
-            "glug_spark.query.execute", fromlist=["search_indexed"]
-        ).search_indexed(
-            spark, index_dir, 'dat* -noise "table scan"', k=10,
-            n_buckets=N_BUCKETS,
-        ),
+        "wand_single": lambda: s.topk(["data"], k=10),
+        "wand_and": lambda: s.topk(["data", "join"], k=10, conjunctive=True),
+        "wand_or": lambda: s.topk(["table", "scan", "merge"], k=100),
+        "wand_stopword": lambda: s.topk(["the", "a"], k=10),
+        "wand_glob": lambda: s.glob_topk("dat*", k=10),
+        "phrase_indexed": lambda: s.phrase_docs(["table", "scan"]),
+        "search_composed": lambda: s.search('dat* -noise "table scan"', k=10),
         "simhash": lambda: __import__(
             "glug_spark.operators.dedup", fromlist=["simhash"]
         ).simhash(spark.read.parquet(f"{sf_dir}/documents.parquet")),

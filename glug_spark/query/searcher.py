@@ -1,0 +1,167 @@
+"""Query-many handle: one index opened once, many low-latency queries.
+
+The module-level functions in :mod:`glug_spark.query.wand` re-read the
+index metadata per call — always correct, but each query pays parquet
+listing/footers, a stats lookup job and plan analysis again (~2× the
+latency of the query itself on a warm executor). A :class:`Searcher`
+is the service shape: it opens the index ONCE, pins the tiny metadata
+(collection stats, segment map) on the driver, keeps the postings /
+term_stats DataFrames analyzed, and optionally ``persist()``s them.
+
+Scale posture: term_stats is vocab-sized (fine to persist); postings
+persist is a knob — on a 100 TB index you leave it off and let
+executor-side page cache + bucket pruning do the work, on a hot-bucket
+service you persist just the DataFrame (partition-level MEMORY_AND_DISK
+eviction keeps it bounded). NOTHING corpus-sized is ever collected.
+
+A Searcher snapshots the index layout at open time: reopen after
+``compact_index`` or stream ingestion (both swap/append files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from glug_spark.query import wand
+from glug_spark.query.parser import parse_query
+from glug_spark.index.pipeline import python_bucket
+
+
+class Searcher:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        n_buckets: int = 16,
+        persist: bool = True,
+    ) -> None:
+        from glug_spark.index.compact import read_segmap
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.n_buckets = n_buckets
+        self._persisted: list[DataFrame] = []
+
+        self.postings = spark.read.parquet(f"{index_dir}/postings")
+        self.term_stats = spark.read.parquet(f"{index_dir}/term_stats")
+        self.segmap = read_segmap(spark, index_dir)
+        coll = spark.read.parquet(f"{index_dir}/collection").collect()[0]
+        self.avgdl = float(coll["avgdl"])
+        self.n_docs = int(coll["n_docs"])
+        if persist:
+            for df in (self.postings, self.term_stats):
+                df.persist()
+                self._persisted.append(df)
+            # materialize metadata eagerly; postings fill lazily per bucket
+            self.term_stats.count()
+
+    def close(self) -> None:
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()
+
+    def __enter__(self) -> "Searcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # --- internals -------------------------------------------------------
+
+    def _with_grp(self, rows: DataFrame) -> DataFrame:
+        if self.segmap is None:
+            return rows.withColumn("grp", F.col("segment"))
+        return rows.join(F.broadcast(self.segmap), "segment", "left").withColumn(
+            "grp", F.coalesce("grp", F.col("segment"))
+        )
+
+    # --- queries ----------------------------------------------------------
+
+    def topk(self, terms: list[str], k: int = 10,
+             conjunctive: bool = False) -> DataFrame:
+        """Rank-identical to wand.wand_topk over the same index.
+
+        Single Spark job: idf rides a broadcast stats join instead of a
+        separate driver lookup (a vocab-absent term simply joins to
+        nothing; the conjunctive scorer already returns empty when a
+        term's list is missing from its group)."""
+        uniq = list(dict.fromkeys(terms))
+        buckets = sorted({python_bucket(t, self.n_buckets) for t in uniq})
+        stats = (
+            self.term_stats
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+            .select("term", "idf")
+        )
+        rows = self._with_grp(
+            self.postings
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+            .select(*wand._SCORING_COLS)
+            .join(F.broadcast(stats), "term")
+        )
+        scorer = wand.make_segment_scorer(
+            uniq, None, self.avgdl, k, conjunctive
+        )
+        per_group = rows.groupBy("grp").applyInPandas(
+            lambda pdf: scorer(pdf), schema=wand._SCORE_SCHEMA
+        )
+        return wand._ranked(
+            per_group.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(k)
+        )
+
+    def composed_topk(self, groups, negations=None, phrases=None,
+                      k: int = 10) -> DataFrame:
+        negations = negations or []
+        phrases = phrases or []
+        phrase_words = list(dict.fromkeys(w for ph in phrases for w in ph))
+        if not groups and not phrase_words:
+            raise ValueError("composed query has no positive constraint")
+        members = wand.build_members(
+            self.term_stats, groups, negations, phrase_words
+        )
+        return wand._composed_from_parts(
+            self.spark, self.postings, members, self._with_grp, self.avgdl,
+            groups, negations, phrases, k, self.n_buckets,
+        )
+
+    def glob_topk(self, glob: str, k: int = 10) -> DataFrame:
+        return self.composed_topk(groups=[[("glob", glob)]], k=k)
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """glug-dialect query string → exact top-k (see execute.search)."""
+        plan = parse_query(query)
+        if not plan.groups and not plan.phrases:
+            raise ValueError(f"query has no positive constraint: {query!r}")
+        return self.composed_topk(
+            groups=plan.groups, negations=plan.negations,
+            phrases=plan.phrases, k=k,
+        )
+
+    def phrase_docs(self, phrase: list[str]) -> DataFrame:
+        uniq = list(dict.fromkeys(phrase))
+        buckets = sorted({python_bucket(t, self.n_buckets) for t in uniq})
+        rows = self._with_grp(
+            self.postings
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+            .drop("bucket")
+        )
+        words = list(phrase)
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_word = {
+                term: wand._decode_full_with_positions(g)
+                for term, g in pdf.groupby("term", sort=False)
+            }
+            if any(w not in per_word or not len(per_word[w]["ids"])
+                   for w in words):
+                return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+            hits = wand._phrase_doc_ids(per_word, words)
+            return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
+
+        matched = rows.groupBy("grp").applyInPandas(
+            match_segment,
+            schema=T.StructType([T.StructField("doc_id", T.LongType())]),
+        )
+        return matched.orderBy("doc_id")

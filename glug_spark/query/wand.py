@@ -334,11 +334,19 @@ def _local_topk(cand: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
                          "raw_score": scores.astype("float64")})
 
 
-def make_segment_scorer(terms: list[str], idfs: dict[str, float], avgdl: float,
-                        k: int, conjunctive: bool):
+def make_segment_scorer(terms: list[str], idfs: dict[str, float] | None,
+                        avgdl: float, k: int, conjunctive: bool):
+    """Plain top-k scorer for one doc-space group. ``idfs=None`` reads
+    idf from an ``idf`` row column instead (stats delivered by a
+    broadcast join — saves the separate stats-lookup job)."""
     uniq_terms = list(dict.fromkeys(terms))
+    static_idfs = idfs
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        idfs = static_idfs
+        if idfs is None:
+            meta = pdf.drop_duplicates("term").set_index("term")
+            idfs = meta["idf"].astype(float).to_dict()
         if conjunctive:
             lists = _conjunctive_blocks(pdf, uniq_terms)
             present = [lists[t] for t in uniq_terms if t in lists]
@@ -563,6 +571,59 @@ def make_composed_scorer(n_groups: int, phrases: list[list[str]],
     return score_group
 
 
+def build_members(stats_df: DataFrame,
+                  groups: list[list[tuple[str, str]]],
+                  negations: list[tuple[str, str]],
+                  phrase_words: list[str]) -> DataFrame:
+    """Per-term query roles as a DataFrame over term_stats: idf, group
+    bitmask, negation flag, phrase membership — computed JVM-side so
+    glob expansion never reaches the driver."""
+    if len(groups) > 62:
+        raise ValueError("too many conjunct groups (max 62)")
+    gmask_col = F.lit(0).cast("long")
+    for i, grp in enumerate(groups):
+        gmask_col = gmask_col + F.when(_member_pred(grp), F.lit(1 << i)
+                                       ).otherwise(F.lit(0)).cast("long")
+    is_neg_col = _member_pred(negations) if negations else F.lit(False)
+    is_phrase_col = (F.col("term").isin(phrase_words) if phrase_words
+                     else F.lit(False))
+    return (
+        stats_df.select(
+            "term", "idf",
+            gmask_col.alias("gmask"),
+            is_neg_col.alias("is_neg"),
+            is_phrase_col.alias("is_phrase"),
+        )
+        .where((F.col("gmask") != 0) | F.col("is_neg") | F.col("is_phrase"))
+    )
+
+
+def _composed_from_parts(spark, postings: DataFrame, members: DataFrame,
+                         grp_mapper, avgdl: float,
+                         groups, negations, phrases, k: int,
+                         n_buckets: int) -> DataFrame:
+    """Shared tail of the composed path (module function + Searcher)."""
+    phrase_words = list(dict.fromkeys(w for ph in phrases for w in ph))
+    # bucket pruning: only possible when every member is an explicit term
+    all_members = ([m for g in groups for m in g] + negations
+                   + [("term", w) for w in phrase_words])
+    explicit_only = all(kind == "term" for kind, _ in all_members)
+    if explicit_only:
+        terms = [v for _, v in all_members]
+        buckets = sorted({python_bucket(t, n_buckets) for t in terms})
+        postings = postings.where(F.col("bucket").isin(buckets))
+
+    # column-prune positions unless a phrase actually needs them
+    cols = _SCORING_COLS + (["positions"] if phrases else [])
+    rows = grp_mapper(postings.select(*cols).join(F.broadcast(members), "term"))
+
+    scorer = make_composed_scorer(len(groups), phrases, avgdl, k)
+    per_group = rows.groupBy("grp").applyInPandas(
+        lambda pdf: scorer(pdf), schema=_SCORE_SCHEMA
+    )
+    return _ranked(per_group.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(k))
+
+
 def composed_topk(
     spark: SparkSession,
     index_dir: str,
@@ -587,49 +648,19 @@ def composed_topk(
     phrase_words = list(dict.fromkeys(w for ph in phrases for w in ph))
     if not groups and not phrase_words:
         raise ValueError("composed query has no positive constraint")
-    if len(groups) > 62:
-        raise ValueError("too many conjunct groups (max 62)")
 
-    gmask_col = F.lit(0).cast("long")
-    for i, grp in enumerate(groups):
-        gmask_col = gmask_col + F.when(_member_pred(grp), F.lit(1 << i)
-                                       ).otherwise(F.lit(0)).cast("long")
-    is_neg_col = _member_pred(negations) if negations else F.lit(False)
-    is_phrase_col = (F.col("term").isin(phrase_words) if phrase_words
-                     else F.lit(False))
-
-    members = (
-        spark.read.parquet(f"{index_dir}/term_stats")
-        .select(
-            "term", "idf",
-            gmask_col.alias("gmask"),
-            is_neg_col.alias("is_neg"),
-            is_phrase_col.alias("is_phrase"),
-        )
-        .where((F.col("gmask") != 0) | F.col("is_neg") | F.col("is_phrase"))
+    members = build_members(
+        spark.read.parquet(f"{index_dir}/term_stats"),
+        groups, negations, phrase_words,
     )
-
-    # bucket pruning: only possible when every member is an explicit term
-    all_members = ([m for g in groups for m in g] + negations
-                   + [("term", w) for w in phrase_words])
-    explicit_only = all(kind == "term" for kind, _ in all_members)
-    postings = spark.read.parquet(f"{index_dir}/postings")
-    if explicit_only:
-        terms = [v for _, v in all_members]
-        buckets = sorted({python_bucket(t, n_buckets) for t in terms})
-        postings = postings.where(F.col("bucket").isin(buckets))
-
-    # column-prune positions unless a phrase actually needs them
-    cols = _SCORING_COLS + (["positions"] if phrases else [])
-    rows = postings.select(*cols).join(F.broadcast(members), "term")
-    rows = with_scoring_group(spark, index_dir, rows)
-
-    avgdl = _collection(spark, index_dir)["avgdl"]
-    scorer = make_composed_scorer(len(groups), phrases, avgdl, k)
-    per_group = rows.groupBy("grp").applyInPandas(
-        lambda pdf: scorer(pdf), schema=_SCORE_SCHEMA
+    return _composed_from_parts(
+        spark,
+        spark.read.parquet(f"{index_dir}/postings"),
+        members,
+        lambda rows: with_scoring_group(spark, index_dir, rows),
+        _collection(spark, index_dir)["avgdl"],
+        groups, negations, phrases, k, n_buckets,
     )
-    return _ranked(per_group.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(k))
 
 
 def docs_with_any(
