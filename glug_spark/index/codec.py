@@ -183,22 +183,44 @@ def encode_segment(
 
     block_last, block_max_tf = block_meta(doc_ids, tfs, block)
     tf_u, dl_u = tfs.astype(np.uint64), dls.astype(np.uint64)
+
+    pos_blob = b""
+    pos_offsets: list[int] = []
+    if positions_per_doc is not None:
+        pos_blob = encode_positions(positions_per_doc)
+        # per-doc encoded byte lengths → per-BLOCK byte starts, so the
+        # phrase path can decode positions block-selectively too
+        per_doc_lens = np.array(
+            [
+                int(_varbyte_lengths(_pos_deltas(p)).sum()) if len(p) else 0
+                for p in positions_per_doc
+            ],
+            dtype=np.int64,
+        )
+        pos_offsets = _block_offsets(per_doc_lens, block)
+
     return {
         "df_local": n,
         "doc_gaps": varbyte_encode(gaps),
         "tfs": varbyte_encode(tf_u),
         "dls": varbyte_encode(dl_u),
-        "positions": (
-            encode_positions(positions_per_doc)
-            if positions_per_doc is not None
-            else b""
-        ),
+        "positions": pos_blob,
         "block_last": block_last.tolist(),
         "block_max_tf": block_max_tf.tolist(),
         "gap_offsets": _block_offsets(_varbyte_lengths(gaps), block),
         "tf_offsets": _block_offsets(_varbyte_lengths(tf_u), block),
         "dl_offsets": _block_offsets(_varbyte_lengths(dl_u), block),
+        "pos_offsets": pos_offsets,
     }
+
+
+def _pos_deltas(p) -> np.ndarray:
+    p = np.asarray(p, dtype=np.uint64)
+    d = np.empty(len(p), dtype=np.uint64)
+    if len(p):
+        d[0] = p[0] + np.uint64(1)
+        d[1:] = p[1:] - p[:-1]
+    return d
 
 
 def encode_runs(
@@ -277,6 +299,9 @@ def encode_runs(
             "gap_offsets": _block_offsets(glens[s:e], block),
             "tf_offsets": _block_offsets(tlens[s:e], block),
             "dl_offsets": _block_offsets(dlens[s:e], block),
+            "pos_offsets": [
+                int(row_pos_byte[r] - pos_start) for r in range(s, e, block)
+            ],
         })
     return out
 
@@ -288,6 +313,29 @@ def decode_segment(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tfs = varbyte_decode(get("tfs")).astype(np.int64)
     dls = varbyte_decode(get("dls")).astype(np.int64)
     return doc_ids, tfs, dls
+
+
+def decode_position_blocks(row, blocks, tfs_concat: np.ndarray,
+                           block: int = BLOCK) -> list[np.ndarray]:
+    """Per-doc position lists for the given blocks ONLY — skipped
+    blocks' position bytes are never touched (``pos_offsets`` gives
+    each block's byte start; deltas restart per doc, so any block
+    decodes standalone). ``tfs_concat`` is the tf array
+    :func:`decode_blocks` returned for the same ``blocks``."""
+    get = row.get if hasattr(row, "get") else row.__getitem__
+    pos_off = get("pos_offsets")
+    pblob = get("positions")
+    n = int(get("df_local"))
+    n_blocks = len(get("gap_offsets"))
+    out: list[np.ndarray] = []
+    k = 0
+    for b in [int(x) for x in blocks]:
+        rows_in_b = min(block, n - b * block)
+        tfs_b = np.asarray(tfs_concat[k:k + rows_in_b], dtype=np.int64)
+        k += rows_in_b
+        end = pos_off[b + 1] if b + 1 < n_blocks else len(pblob)
+        out.extend(decode_positions(pblob[pos_off[b]:end], tfs_b))
+    return out
 
 
 def decode_blocks(row, blocks: np.ndarray,

@@ -61,6 +61,7 @@ ENCODED_SCHEMA = T.StructType([
     T.StructField("gap_offsets", T.ArrayType(T.LongType())),
     T.StructField("tf_offsets", T.ArrayType(T.LongType())),
     T.StructField("dl_offsets", T.ArrayType(T.LongType())),
+    T.StructField("pos_offsets", T.ArrayType(T.LongType())),
     # resume lineage (constant per segment; RLE-compressed by parquet,
     # column-pruned from every query read): content identity of the
     # input batch, so interrupted builds resume correctly even if the

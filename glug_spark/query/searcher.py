@@ -150,14 +150,7 @@ class Searcher:
         from pyspark.sql import types as T
 
         def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-            per_word = {
-                term: wand._decode_full_with_positions(g)
-                for term, g in pdf.groupby("term", sort=False)
-            }
-            if any(w not in per_word or not len(per_word[w]["ids"])
-                   for w in words):
-                return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
-            hits = wand._phrase_doc_ids(per_word, words)
+            hits = wand._phrase_hits_segment(pdf, words)
             return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
 
         matched = rows.groupBy("grp").applyInPandas(

@@ -472,7 +472,8 @@ def _phrase_doc_ids(per_word: dict[str, dict], words: list[str]) -> np.ndarray:
 
 
 def _decode_full_with_positions(grp: pd.DataFrame) -> dict:
-    """Full decode incl. per-doc position lists (phrase words only)."""
+    """Full decode incl. per-doc position lists (small lists only —
+    the selective path below is the scale route)."""
     ids_l, tfs_l, dls_l, pos_l = [], [], [], []
     for row in grp.to_dict("records"):
         ids, tfs, dls = codec.decode_segment(row)
@@ -488,6 +489,53 @@ def _decode_full_with_positions(grp: pd.DataFrame) -> dict:
         "dls": (np.concatenate(dls_l)[order] if dls_l else np.zeros(0, np.int64)),
         "plists": [pos_l[i] for i in order],
     }
+
+
+def _decode_positions_covering(grp: pd.DataFrame, targets: np.ndarray) -> dict:
+    """Position lists decoded ONLY for blocks that can contain a target
+    doc — a stopword's position blob (the largest index column by far)
+    is read a few blocks at a time, never end to end. Returned ids are
+    the covering superset of targets ∩ list (every returned posting is
+    real, so phrase intersection over coverings is exact)."""
+    if not len(targets):
+        return {"ids": np.zeros(0, np.int64), "plists": []}
+    ids_l, pos_l = [], []
+    for row in grp.to_dict("records"):
+        block_last = np.asarray(row["block_last"], dtype=np.int64)
+        if not len(block_last):
+            continue
+        blocks = np.unique(np.searchsorted(block_last, targets, side="left"))
+        blocks = blocks[blocks < len(block_last)]
+        if not len(blocks):
+            continue
+        ids, tfs, _ = codec.decode_blocks(row, blocks)
+        pos_l.extend(codec.decode_position_blocks(row, blocks, tfs))
+        ids_l.append(ids)
+    ids = np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64)
+    order = np.argsort(ids, kind="stable")
+    return {"ids": ids[order], "plists": [pos_l[i] for i in order]}
+
+
+def _phrase_hits_segment(pdf: pd.DataFrame, words: list[str]) -> np.ndarray:
+    """doc_ids of one scoring group matching the exact phrase.
+
+    Two-phase: cheap full decode of doc-id/tf streams to intersect the
+    candidate docs, then block-selective POSITION decode covering only
+    those candidates, then the vectorized adjacency intersection."""
+    rows_by_word = {t: g for t, g in pdf.groupby("term", sort=False)}
+    if any(w not in rows_by_word for w in words):
+        return np.zeros(0, np.int64)
+    full = {w: _decode_full(rows_by_word[w]) for w in set(words)}
+    cand = full[words[0]]["ids"]
+    for w in words[1:]:
+        cand = cand[np.isin(cand, full[w]["ids"], assume_unique=True)]
+    if not len(cand):
+        return cand
+    per_word = {
+        w: _decode_positions_covering(rows_by_word[w], cand)
+        for w in set(words)
+    }
+    return _phrase_doc_ids(per_word, words)
 
 
 def make_composed_scorer(n_groups: int, phrases: list[list[str]],
@@ -522,15 +570,27 @@ def make_composed_scorer(n_groups: int, phrases: list[list[str]],
 
         rows_by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
 
-        # phrase words: full decode with positions (needed for adjacency
-        # anyway; they are scored terms too)
+        # phrase words are scored terms too: decode their doc streams
+        # fully ONCE (reused for scoring AND candidate intersection);
+        # positions decode is block-selective over the candidates only
         predecoded: dict[str, dict] = {
-            w: _decode_full_with_positions(rows_by_term[w])
+            w: _decode_full(rows_by_term[w])
             for w in phrase_words if w in rows_by_term
         }
         phrase_ok: np.ndarray | None = None
         for ph in phrases:
-            docs = _phrase_doc_ids(predecoded, ph)
+            cand = predecoded[ph[0]]["ids"]
+            for w in ph[1:]:
+                cand = cand[np.isin(cand, predecoded[w]["ids"],
+                                    assume_unique=True)]
+            if len(cand):
+                per_word = {
+                    w: _decode_positions_covering(rows_by_term[w], cand)
+                    for w in set(ph)
+                }
+                docs = _phrase_doc_ids(per_word, ph)
+            else:
+                docs = cand
             phrase_ok = docs if phrase_ok is None else docs[
                 np.isin(docs, phrase_ok, assume_unique=True)
             ]
@@ -614,7 +674,7 @@ def _composed_from_parts(spark, postings: DataFrame, members: DataFrame,
         postings = postings.where(F.col("bucket").isin(buckets))
 
     # column-prune positions unless a phrase actually needs them
-    cols = _SCORING_COLS + (["positions"] if phrases else [])
+    cols = _SCORING_COLS + (["positions", "pos_offsets"] if phrases else [])
     rows = grp_mapper(postings.select(*cols).join(F.broadcast(members), "term"))
 
     scorer = make_composed_scorer(len(groups), phrases, avgdl, k)
@@ -731,13 +791,7 @@ def phrase_docs_indexed(
     words = list(phrase)
 
     def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        per_word = {
-            term: _decode_full_with_positions(grp)
-            for term, grp in pdf.groupby("term", sort=False)
-        }
-        if any(w not in per_word or len(per_word[w]["ids"]) == 0 for w in words):
-            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
-        hits = _phrase_doc_ids(per_word, words)
+        hits = _phrase_hits_segment(pdf, words)
         return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
 
     matched = rows.groupBy("grp").applyInPandas(
