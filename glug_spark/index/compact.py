@@ -157,6 +157,7 @@ def compact_index(
     (
         untouched.select(cols)
         .unionByName(merged.select(cols))
+        .sortWithinPartitions("bucket", "term")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(tmp)

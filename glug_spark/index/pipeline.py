@@ -279,7 +279,11 @@ def build_index(
         schema=ENCODED_SCHEMA,
     )
     (
-        encoded.write.mode("append" if done_lineages else "overwrite")
+        # local (no-shuffle) term sort per output task: row-group
+        # min/max on `term` become tight, so term-IN / prefix scans
+        # skip whole row groups; dictionary/RLE compression improves too
+        encoded.sortWithinPartitions("bucket", "term")
+        .write.mode("append" if done_lineages else "overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "postings"))
     )

@@ -426,14 +426,23 @@ def wand_topk(
 # --- composed queries: groups + negation + phrase, filters exact --------
 
 def _member_pred(members: list[tuple[str, str]]):
-    """stats/postings `term` column predicate for group members."""
-    from glug_spark.semantics.glob import full_match_regex
+    """stats/postings `term` column predicate for group members.
+
+    Glob members carry their literal prefix as a ``startswith``
+    conjunct: rlike can't reach the parquet scan, but StringStartsWith
+    can — with the term-sorted row-group layout the scan skips whole
+    groups for prefixed globs like ``dat*``."""
+    from glug_spark.semantics.glob import full_match_regex, literal_prefix
 
     terms = [v for kind, v in members if kind == "term"]
     pred = F.col("term").isin(terms) if terms else F.lit(False)
     for kind, v in members:
         if kind == "glob":
-            pred = pred | F.col("term").rlike(full_match_regex(v))
+            gp = F.col("term").rlike(full_match_regex(v))
+            prefix = literal_prefix(v)
+            if prefix:
+                gp = F.col("term").startswith(prefix) & gp
+            pred = pred | gp
     return pred
 
 
@@ -469,26 +478,6 @@ def _phrase_doc_ids(per_word: dict[str, dict], words: list[str]) -> np.ndarray:
         if not len(surv):
             break
     return cand[np.unique((surv >> np.uint64(32)).astype(np.int64))]
-
-
-def _decode_full_with_positions(grp: pd.DataFrame) -> dict:
-    """Full decode incl. per-doc position lists (small lists only —
-    the selective path below is the scale route)."""
-    ids_l, tfs_l, dls_l, pos_l = [], [], [], []
-    for row in grp.to_dict("records"):
-        ids, tfs, dls = codec.decode_segment(row)
-        pos_l.extend(codec.decode_positions(row["positions"], tfs))
-        ids_l.append(ids)
-        tfs_l.append(tfs)
-        dls_l.append(dls)
-    ids = np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64)
-    order = np.argsort(ids, kind="stable")
-    return {
-        "ids": ids[order],
-        "tfs": (np.concatenate(tfs_l)[order] if tfs_l else np.zeros(0, np.int64)),
-        "dls": (np.concatenate(dls_l)[order] if dls_l else np.zeros(0, np.int64)),
-        "plists": [pos_l[i] for i in order],
-    }
 
 
 def _decode_positions_covering(grp: pd.DataFrame, targets: np.ndarray) -> dict:

@@ -241,6 +241,24 @@ def to_regex(glob: str) -> str:
     return "".join(s)
 
 
+def literal_prefix(glob: str) -> str:
+    """Longest literal prefix a glob-matching string must start with.
+
+    Conservative (a shorter prefix is always safe): stops at the first
+    wildcard (`*?[`) or backslash escape. Used to push a
+    ``StringStartsWith`` predicate into the parquet scan so row-group
+    stats on a term-sorted layout can skip non-matching groups — it
+    never changes result sets (every glob match starts with its own
+    literal prefix).
+    """
+    out: list[str] = []
+    for c in glob:
+        if c in "*?[\\":
+            break
+        out.append(c)
+    return "".join(out)
+
+
 def glob_escape(s: str) -> str:
     """Escape ``? * [`` so a literal string becomes a self-matching glob
 

@@ -117,9 +117,9 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
         _make_partition_encoder(n_buckets, set(), attempt),
         schema=ENCODED_SCHEMA,
     )
-    encoded.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(index_dir, "postings")
-    )
+    encoded.sortWithinPartitions("bucket", "term").write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(os.path.join(index_dir, "postings"))
     spark.createDataFrame(
         [(int(batch_id), int(n_new))], "batch_id long, n_docs long"
     ).write.mode("append").parquet(_stream_manifest_path(index_dir))

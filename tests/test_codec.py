@@ -90,3 +90,58 @@ def test_decode_blocks_selective():
         assert np.array_equal(
             l, np.concatenate([dls[b * codec.BLOCK : (b + 1) * codec.BLOCK] for b in blocks])
         )
+
+
+def test_decode_position_blocks_selective():
+    rng = np.random.default_rng(11)
+    n = 700
+    doc_ids = np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 6, size=n).astype(np.int64)
+    dls = rng.integers(10, 500, size=n).astype(np.int64)
+    plists = [
+        np.sort(rng.choice(10**5, size=int(tf), replace=False)).astype(np.uint64)
+        for tf in tfs
+    ]
+    enc = codec.encode_segment(doc_ids, tfs, dls, positions_per_doc=plists)
+    n_blocks = len(enc["gap_offsets"])
+    assert len(enc["pos_offsets"]) == n_blocks
+
+    for blocks in ([0], [n_blocks - 1], [1, 4], list(range(n_blocks))):
+        _, tf_sel, _ = codec.decode_blocks(enc, np.array(blocks))
+        got = codec.decode_position_blocks(enc, blocks, tf_sel)
+        want = [
+            plists[i]
+            for b in blocks
+            for i in range(b * codec.BLOCK, min((b + 1) * codec.BLOCK, n))
+        ]
+        assert len(got) == len(want), blocks
+        for g, w in zip(got, want):
+            assert np.array_equal(g, w), blocks
+
+
+def test_encode_runs_pos_offsets_match_encode_segment():
+    rng = np.random.default_rng(13)
+    n = 300
+    codes = np.sort(rng.integers(0, 3, size=n)).astype(np.int64)
+    doc_ids = np.zeros(n, dtype=np.int64)
+    for c in np.unique(codes):
+        m = codes == c
+        doc_ids[m] = np.sort(rng.choice(10**6, size=int(m.sum()), replace=False))
+    tfs = rng.integers(1, 5, size=n).astype(np.int64)
+    dls = rng.integers(10, 99, size=n).astype(np.int64)
+    plists = [
+        np.sort(rng.choice(10**4, size=int(tf), replace=False)).astype(np.uint64)
+        for tf in tfs
+    ]
+    flat = np.concatenate(plists).astype(np.uint64)
+    runs = codec.encode_runs(codes, doc_ids, tfs, dls, flat)
+    for run in runs:
+        s = run.pop("run_start")
+        e = s + run["df_local"]
+        single = codec.encode_segment(
+            doc_ids[s:e], tfs[s:e], dls[s:e], positions_per_doc=plists[s:e]
+        )
+        for key in ("doc_gaps", "tfs", "dls", "positions", "block_last",
+                    "block_max_tf", "gap_offsets", "tf_offsets",
+                    "dl_offsets", "pos_offsets"):
+            assert run[key] == single[key], key
