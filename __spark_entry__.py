@@ -46,6 +46,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.load(spark, sf_dir, "documents")
 
 
+def _ivf_centroids():
+    """Frozen trained-index artifact (tools/train_ivf.py) — the same
+    literals feed the Spark plan and the DuckDB oracle at any sf."""
+    from glug_spark.operators.ivf_centroids import CENTROIDS
+
+    return CENTROIDS
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for a multi-term query on sf0.001."""
     return bm25.bm25_topk(_docs(spark, SF0001), Q_OR, k=10)
@@ -379,6 +387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": lambda s, d: similarity.ivf_topk(
             corpus.load(s, d, "embeddings")
         ),
+        "ivf_topk_trained": lambda s, d: similarity.ivf_topk_trained(
+            corpus.load(s, d, "embeddings"), centroids=_ivf_centroids()
+        ),
         "embedding_dup_pairs": lambda s, d: similarity.embedding_dup_pairs(
             corpus.load(s, d, "embeddings"), threshold=0.9
         ),
@@ -483,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dedup.simhash_pairs_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
         "ivf_topk": similarity.ivf_topk_sql(),
+        "ivf_topk_trained": similarity.ivf_topk_trained_sql(_ivf_centroids()),
         "embedding_dup_pairs": similarity.embedding_dup_pairs_sql(threshold=0.9),
         "embedding_dup_pairs_lsh": similarity.embedding_dup_pairs_lsh_sql(
             threshold=0.9

@@ -165,6 +165,175 @@ def ivf_topk(
     )
 
 
+def train_centroids(
+    sample_vectors: "list[list[float]]",
+    n_lists: int = 8,
+    n_iter: int = 5,
+) -> list[list[float]]:
+    """Deterministic spherical k-means (Lloyd's) on a bounded sample.
+
+    Training is a driver-side O(sample × n_lists × dim) NumPy loop on a
+    FIXED-SIZE sample (the first vectors by vec_id) — at 10^12 rows you
+    still train on a few thousand vectors; only assignment is
+    distributed. Deterministic init (first n_lists sample vectors), no
+    RNG; centroids are L2-normalized each round (cosine objective) and
+    rounded to 6 decimals so the identical doubles can be embedded as
+    literals in BOTH the Spark plan and the oracle SQL.
+    """
+    import numpy as np
+
+    X = np.asarray(sample_vectors, dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[:n_lists].copy()
+    for _ in range(n_iter):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(n_lists):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    C[j] = m / norm
+    return [[float(f"{x:.6f}") for x in row] for row in C]
+
+
+def sample_for_training(embeddings: DataFrame, sample: int = 2048) -> list:
+    """Deterministic training sample: lowest vec_ids. O(sample) driver
+    memory regardless of corpus size."""
+    rows = (
+        embeddings.select("vec_id", _as_double("embedding").alias("v"))
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF top-k with TRAINED centroids (vs :func:`ivf_topk`'s
+    deterministic-sample centroids): same probe-pruned plan shape —
+    broadcast centroids, nearest-centroid assignment, scan only the
+    ``n_probe`` most query-similar clusters. Assignment dots use the
+    sequential JVM fold so the oracle's list_reduce sees identical
+    doubles."""
+    spark = embeddings.sparkSession
+    if centroids is None:
+        centroids = train_centroids(
+            sample_for_training(embeddings), n_lists=n_lists
+        )
+    cents = F.broadcast(spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "list_id int, c array<double>",
+    ))
+
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    sim_to_cent = emb.crossJoin(cents).select(
+        "vec_id", "v", "list_id",
+        (_dot(F.col("v"), F.col("c"))
+         / (_norm(F.col("v")) * _norm(F.col("c")))).alias("csim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("list_id")
+    )
+    assigned = (
+        sim_to_cent.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "list_id")
+    )
+    probe_lists = (
+        assigned.where(F.col("vec_id") == query_vec_id)
+        .select(F.col("v").alias("q"))
+        .crossJoin(cents)
+        .select(
+            "list_id", "q",
+            (_dot(F.col("q"), F.col("c"))
+             / (_norm(F.col("q")) * _norm(F.col("c")))).alias("csim"),
+        )
+        .orderBy(F.desc("csim"), F.asc("list_id"))
+        .limit(n_probe)
+        .select("list_id", "q")
+    )
+    sims = (
+        assigned.join(F.broadcast(probe_lists), "list_id")
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            (_dot(F.col("v"), F.col("q"))
+             / (_norm(F.col("v")) * _norm(F.col("q")))).alias("raw_sim"),
+        )
+    )
+    topk = sims.orderBy(F.desc("raw_sim"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("raw_sim"), F.asc("vec_id"))
+    return topk.select(
+        F.row_number().over(w).alias("rank"),
+        "vec_id",
+        F.round("raw_sim", 6).alias("sim"),
+    )
+
+
+def ivf_topk_trained_sql(
+    centroids: list[list[float]],
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+) -> str:
+    """Oracle twin of :func:`ivf_topk_trained` given the SAME trained
+    centroid literals (training is deterministic Python shared by both
+    sides)."""
+    rows = ", ".join(
+        f"({i}, [" + ", ".join(repr(x) for x in c) + "])"
+        for i, c in enumerate(centroids)
+    )
+    dot_vc = _DOT_SQL.format(a="e.v", b="c.c")
+    norm_v = _NORM_SQL.format(a="e.v")
+    norm_c = _NORM_SQL.format(a="c.c")
+    dot_qc = _DOT_SQL.format(a="q.q", b="c.c")
+    norm_q = _NORM_SQL.format(a="q.q")
+    dot_vq = _DOT_SQL.format(a="a.v", b="p.q")
+    norm_av = _NORM_SQL.format(a="a.v")
+    norm_pq = _NORM_SQL.format(a="p.q")
+    return f"""
+WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+cents(list_id, c) AS (VALUES {rows}),
+sim_to_cent AS (
+    SELECT e.vec_id, e.v, c.list_id,
+           {dot_vc} / ({norm_v} * {norm_c}) AS csim
+    FROM emb e CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, v, list_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, list_id ASC) AS rn
+        FROM sim_to_cent
+    ) WHERE rn = 1
+),
+q AS (SELECT v AS q FROM assigned WHERE vec_id = {query_vec_id}),
+probe AS (
+    SELECT c.list_id, q.q
+    FROM q CROSS JOIN cents c
+    ORDER BY {dot_qc} / ({norm_q} * {norm_c}) DESC, c.list_id ASC
+    LIMIT {n_probe}
+),
+sims AS (
+    SELECT a.vec_id, {dot_vq} / ({norm_av} * {norm_pq}) AS raw_sim
+    FROM assigned a JOIN probe p ON a.list_id = p.list_id
+    WHERE a.vec_id <> {query_vec_id}
+),
+topk AS (SELECT * FROM sims ORDER BY raw_sim DESC, vec_id ASC LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY raw_sim DESC, vec_id ASC) AS INT) AS rank,
+       vec_id, round(raw_sim, 6) AS sim
+FROM topk
+"""
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.99
 ) -> DataFrame:

@@ -84,3 +84,50 @@ def test_simhash_pairs_hamming_is_exact(spark):
     for r in dedup.simhash_pairs(docs, max_hamming=16).limit(20).collect():
         expected = bin((h[r["doc_a"]] ^ h[r["doc_b"]]) & (2**64 - 1)).count("1")
         assert r["hamming"] == expected
+
+
+def test_train_centroids_deterministic(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    s = similarity.sample_for_training(emb, sample=256)
+    c1 = similarity.train_centroids(s, n_lists=4)
+    c2 = similarity.train_centroids(list(s), n_lists=4)
+    assert c1 == c2
+    assert len(c1) == 4 and len(c1[0]) == len(s[0])
+
+
+def test_ivf_trained_full_probe_is_exact(spark):
+    """Probing every cluster must reproduce the exact brute-force
+    top-k (the probe prune is the ONLY source of approximation)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids(
+        similarity.sample_for_training(emb, sample=256), n_lists=4
+    )
+    exact = [
+        (r["vec_id"], r["sim"])
+        for r in similarity.cosine_topk(emb, query_vec_id=3, k=10).collect()
+    ]
+    full_probe = [
+        (r["vec_id"], r["sim"])
+        for r in similarity.ivf_topk_trained(
+            emb, query_vec_id=3, k=10, n_lists=4, n_probe=4, centroids=cents
+        ).collect()
+    ]
+    assert full_probe == exact
+
+
+def test_ivf_trained_recall_reasonable(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids(
+        similarity.sample_for_training(emb, sample=256), n_lists=4
+    )
+    exact = {
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, query_vec_id=3, k=10).collect()
+    }
+    probed = {
+        r["vec_id"]
+        for r in similarity.ivf_topk_trained(
+            emb, query_vec_id=3, k=10, n_lists=4, n_probe=2, centroids=cents
+        ).collect()
+    }
+    assert len(exact & probed) / len(exact) >= 0.3  # prune is honest, not broken
