@@ -141,7 +141,7 @@ def _ensure_scaling_corpus() -> str:
 
 
 def run_scaling(
-    sf_dir: str | None = None, low: int = 2, high: int = 8, repeats: int = 2
+    sf_dir: str | None = None, low: int = 2, high: int = 8, repeats: int = 3
 ) -> dict:
     """Same job, two parallelism levels (N and 4N cores), fresh JVM each
     — the sandbox protocol for the N→4N executor-scaling criterion; see

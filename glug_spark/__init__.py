@@ -18,4 +18,4 @@ query layer over web-scale document tables, built Spark-first:
   similarity search, text analysis, multimodal plumbing.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -185,3 +185,50 @@ def test_resume_skips_completed_segments(spark, index_dir):
     )
     assert summary["resumed_segments_skipped"] == summary["segments"] > 0
     assert summary["n_postings"] > 0
+
+
+def test_degenerate_identical_corpus(spark, tmp_path):
+    """Adversarial skew: every doc identical — one giant tf-uniform
+    posting list per term, every score tied. The index path must still
+    be rank-identical (ties broken by doc_id) and the build must not
+    degrade into anything term-keyed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    text = "alpha beta beta gamma gamma gamma"
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit(text).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.lit(len(text)).cast("long").alias("n_chars"),
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    docs.write.parquet(f"{corpus_dir}/documents.parquet")
+    index_dir = str(tmp_path / "index")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "64")
+    try:
+        build_index(spark, corpus_dir, index_dir, n_buckets=4)
+    finally:
+        spark.conf.set(key, prev)
+
+    stored = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    for terms, k, conj in [(["gamma"], 20, False),
+                           (["alpha", "beta"], 20, True),
+                           (["alpha", "gamma"], 300, False)]:
+        expected = [
+            tuple(r)
+            for r in bm25.bm25_topk(stored, terms, k=k, conjunctive=conj).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in wand.wand_topk(spark, index_dir, terms, k=k,
+                                    conjunctive=conj, n_buckets=4).collect()
+        ]
+        assert got == expected, terms
+        # ties → doc_id ascending
+        assert [r[1] for r in got] == sorted(r[1] for r in got)
