@@ -232,3 +232,26 @@ def test_degenerate_identical_corpus(spark, tmp_path):
         assert got == expected, terms
         # ties → doc_id ascending
         assert [r[1] for r in got] == sorted(r[1] for r in got)
+
+
+def test_docs_with_any_matches_full_scan(spark, index_dir):
+    """The doc-set primitive (semi/anti-join building block exposed for
+    external composition) returns exactly the docs containing any query
+    term."""
+    from pyspark.sql import functions as F
+
+    from glug_spark.index.build import token_array
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for terms in (["data"], ["data", "join"], ["nosuchterm"], ["dup", "the"]):
+        want = {
+            r["doc_id"]
+            for r in docs.select(
+                "doc_id", F.explode(token_array()).alias("term")
+            ).where(F.col("term").isin(terms)).select("doc_id").distinct().collect()
+        }
+        got = {
+            r["doc_id"]
+            for r in wand.docs_with_any(spark, index_dir, terms, n_buckets=8).collect()
+        }
+        assert got == want, terms
