@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_roundtrip": _q_extract_roundtrip,
         # dedup family
         "dedup_exact": lambda s, d: dedup.exact_groups(_docs(s, d)),
+        "dedup_apply": lambda s, d: dedup.dedup_apply(_docs(s, d)),
         "minhash_bands": lambda s, d: dedup.minhash_bands(_docs(s, d)),
         "dup_pairs_minhash": lambda s, d: dedup.dup_pairs_minhash(_docs(s, d)),
         "jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_docs(s, d)),
@@ -412,6 +413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.media_table(_docs(s, d))
         ),
         "media_frames": lambda s, d: multimodal.frame_digests(
+            multimodal.media_table(_docs(s, d))
+        ),
+        "media_resize": lambda s, d: multimodal.resize_digests(
             multimodal.media_table(_docs(s, d))
         ),
         # generic relational coverage
@@ -486,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "explorer_listing": _explorer_oracle(),
         "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
         "dedup_exact": dedup.EXACT_GROUPS_SQL,
+        "dedup_apply": dedup.DEDUP_APPLY_SQL,
         "minhash_bands": dedup.minhash_bands_sql()
         + " ORDER BY doc_id, band_id",
         "dup_pairs_minhash": dedup.dup_pairs_minhash_sql(),
@@ -508,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": multimodal.MEDIA_METADATA_SQL,
         "media_features": multimodal.FEATURE_ROWS_SQL,
         "media_frames": multimodal.frame_digests_sql(),
+        "media_resize": multimodal.resize_digests_sql(),
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "top_customers": relational.top_customers_sql(),
         "user_event_ranks": relational.USER_EVENT_RANKS_SQL,

@@ -52,6 +52,23 @@ GROUP BY md5(text)
 """
 
 
+def dedup_apply(docs: DataFrame) -> DataFrame:
+    """The end-to-end exact-dedup a training pipeline actually runs:
+    keep one canonical copy per content hash (min doc_id), drop the
+    rest. One hash-agg + one semi-join on the (content_hash-sized)
+    keeper set — skew-free, no corpus-sized driver state."""
+    keep = exact_groups(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi").select("doc_id")
+
+
+DEDUP_APPLY_SQL = """
+SELECT doc_id FROM documents
+WHERE doc_id IN (
+    SELECT min(doc_id) FROM documents GROUP BY md5(text)
+)
+"""
+
+
 # --- MinHash + LSH ------------------------------------------------------
 
 def _shingles(docs: DataFrame) -> DataFrame:

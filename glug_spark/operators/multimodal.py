@@ -170,6 +170,65 @@ FROM w CROSS JOIN range({FEATURE_DIM}) t(j)
 """
 
 
+RESIZE_SAMPLES = 64
+
+
+def resize_media(media: DataFrame, n_samples: int = RESIZE_SAMPLES) -> DataFrame:
+    """(doc_id, resized binary) — the image-resize plumbing analog:
+    deterministic fixed-stride downsampling of the opaque payload to at
+    most ``n_samples`` bytes. A real decoder would replace the byte
+    stride with pixel-space interpolation; the mapInPandas batch shape,
+    1→1 row contract and binary output schema are the real contract.
+    """
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                stride = max(1, len(raw) // n_samples)
+                out.append({
+                    "doc_id": int(doc_id),
+                    "resized": raw[::stride][:n_samples],
+                })
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(batches, schema=schema)
+
+
+def resize_digests(media: DataFrame, n_samples: int = RESIZE_SAMPLES) -> DataFrame:
+    """Hashable projection of :func:`resize_media` for the oracle."""
+    r = resize_media(media, n_samples)
+    return r.select(
+        "doc_id",
+        F.md5("resized").alias("resized_md5"),
+        F.length("resized").cast("long").alias("resized_len"),
+    )
+
+
+def resize_digests_sql(n_samples: int = RESIZE_SAMPLES) -> str:
+    """Oracle twin (ASCII corpus: VARCHAR char == byte)."""
+    return f"""
+WITH w AS ({corpus.WEBTEXT_SQL}),
+s AS (SELECT doc_id, page, greatest(1, strlen(page) // {n_samples}) AS stride
+      FROM w),
+samp AS (
+    SELECT doc_id,
+           string_agg(substr(page, CAST(1 + i * stride AS BIGINT), 1),
+                      '' ORDER BY i) AS r
+    FROM s CROSS JOIN range({n_samples}) t(i)
+    WHERE 1 + i * stride <= strlen(page)
+    GROUP BY doc_id
+)
+SELECT doc_id, md5(r) AS resized_md5, CAST(strlen(r) AS BIGINT) AS resized_len
+FROM samp
+"""
+
+
 def frame_digests(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """(doc_id, frame_idx, frame_md5, frame_len) — :func:`sample_frames`
     projected to a hashable shape (binary slices digested)."""
