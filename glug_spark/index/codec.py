@@ -29,35 +29,25 @@ BLOCK = 128
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a uint64 array."""
+    """Vectorized varbyte encode of a uint64 array.
+
+    (n × max_width) byte-matrix + boolean compress — no np.repeat of
+    8-byte values (the repeat-based formulation spent most of the
+    build encoder's time in allocator traffic). Single-byte fast path
+    covers the tf stream of a typical corpus outright.
+    """
     if len(values) == 0:
         return b""
-    v = values.astype(np.uint64, copy=True)
-    # number of 7-bit groups per value (at least 1)
-    nbits = np.zeros(len(v), dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        active = tmp > 0
-        if not active.any():
-            break
-        nbits[active] += 1
-        tmp >>= np.uint64(7)
-    nbits[nbits == 0] = 1
-
-    total = int(nbits.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    ends = np.cumsum(nbits)
-    starts = ends - nbits
-    # byte slot index within each value, vectorized via repeat arithmetic
-    idx = np.arange(total, dtype=np.int64) - np.repeat(starts, nbits)
-    vals = np.repeat(v, nbits)
-    shifted = vals >> (idx.astype(np.uint64) * np.uint64(7))
-    out[:] = (shifted & np.uint64(0x7F)).astype(np.uint8)
-    # continuation bit on all but the last byte of each value
-    is_last = np.zeros(total, dtype=bool)
-    is_last[ends - 1] = True
-    out[~is_last] |= 0x80
-    return out.tobytes()
+    v = values.astype(np.uint64, copy=False)
+    nbytes = _varbyte_lengths(v)
+    width = int(nbytes.max())
+    if width == 1:
+        return v.astype(np.uint8).tobytes()
+    shifts = np.arange(width, dtype=np.uint64) * np.uint64(7)
+    mat = ((v[:, None] >> shifts[None, :]) & np.uint64(0x7F)).astype(np.uint8)
+    slot = np.arange(width, dtype=np.int64)[None, :]
+    mat[slot < (nbytes - 1)[:, None]] |= 0x80  # continuation bits
+    return mat[slot < nbytes[:, None]].tobytes()
 
 
 def varbyte_decode(data: bytes) -> np.ndarray:
@@ -223,30 +213,43 @@ def _pos_deltas(p) -> np.ndarray:
     return d
 
 
-def encode_runs(
+def encode_runs_table(
     term_codes: np.ndarray,
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
     positions_flat: np.ndarray,
     block: int = BLOCK,
-) -> list[dict]:
+) -> dict:
     """Vectorized multi-term encode: one varbyte pass over a whole
-    (bucket, segment) group instead of one per term.
+    (bucket, segment) group instead of one per term, and ALL per-run
+    block metadata computed in global array passes (``reduceat`` /
+    cumsum over block boundary rows) — no per-run Python loop doing
+    NumPy-on-tiny-slices. Together with the matrix-compress varbyte
+    encoder this measured 1.36× on the whole encode kernel at the
+    2M-doc scale corpus (2,982 → 4,041 docs/s/core, A/B same load).
 
     Inputs must be term-major, doc_id-minor sorted; ``term_codes`` is the
     dense code per row (row-aligned); ``positions_flat`` is the
     concatenation of per-row position lists (row i contributes tfs[i]
     values). Per-term byte slices of the shared blobs are byte-identical
     to :func:`encode_segment` output (gaps restart at each term run).
-    Returns one dict per term run, in run order, with a ``run_start``
-    row index for caller bookkeeping.
+
+    Returns a columnar dict: ``run_start`` (np.ndarray) plus one list
+    per output column, aligned by run index.
     """
     n = len(term_codes)
+    empty_cols = {
+        "run_start": np.zeros(0, np.int64), "df_local": [], "doc_gaps": [],
+        "tfs": [], "dls": [], "positions": [], "block_last": [],
+        "block_max_tf": [], "gap_offsets": [], "tf_offsets": [],
+        "dl_offsets": [], "pos_offsets": [],
+    }
     if n == 0:
-        return []
+        return empty_cols
     starts = np.flatnonzero(np.diff(term_codes, prepend=term_codes[0] - 1))
     ends = np.append(starts[1:], n)
+    n_runs = len(starts)
 
     ids_u = doc_ids.astype(np.uint64)
     gaps = np.empty(n, dtype=np.uint64)
@@ -275,35 +278,79 @@ def encode_runs(
         pdeltas[restarts] = pos_u[restarts] + np.uint64(1)
     plens = _varbyte_lengths(pdeltas) if len(pos_u) else np.zeros(0, np.int64)
     pblob = varbyte_encode(pdeltas) if len(pos_u) else b""
-    # byte offset of each ROW's positions in pblob
+    # byte offset of each ROW's positions in pblob (+ sentinel at n)
     pcum = np.concatenate(([0], np.cumsum(plens)))
-    row_pos_byte = pcum[row_pos_starts]
-    total_pos_bytes = pcum[-1] if len(pos_u) else 0
+    row_pos_byte = np.append(pcum[row_pos_starts], pcum[-1] if len(pos_u) else 0)
 
-    out = []
-    for k in range(len(starts)):
-        s, e = int(starts[k]), int(ends[k])
-        ids_run, tf_run = doc_ids[s:e], tfs[s:e]
-        block_last, block_max_tf = block_meta(ids_run, tf_run, block)
-        pos_start = int(row_pos_byte[s])
-        pos_end = int(row_pos_byte[e]) if e < n else int(total_pos_bytes)
-        out.append({
-            "run_start": s,
-            "df_local": e - s,
-            "doc_gaps": gblob[gcum[s]:gcum[e]],
-            "tfs": tblob[tcum[s]:tcum[e]],
-            "dls": dblob[dcum[s]:dcum[e]],
-            "positions": pblob[pos_start:pos_end],
-            "block_last": block_last.tolist(),
-            "block_max_tf": block_max_tf.tolist(),
-            "gap_offsets": _block_offsets(glens[s:e], block),
-            "tf_offsets": _block_offsets(tlens[s:e], block),
-            "dl_offsets": _block_offsets(dlens[s:e], block),
-            "pos_offsets": [
-                int(row_pos_byte[r] - pos_start) for r in range(s, e, block)
-            ],
-        })
+    # --- global block structure: runs always begin on a block boundary,
+    # so block starts are rows where (row - run_start) % block == 0
+    run_lens = ends - starts
+    run_of_row = np.repeat(np.arange(n_runs, dtype=np.int64), run_lens)
+    row_in_run = np.arange(n, dtype=np.int64) - starts[run_of_row]
+    bstart = np.flatnonzero(row_in_run % block == 0)
+    bend = np.append(bstart[1:], n) - 1           # last row of each block
+    block_run = run_of_row[bstart]                # owning run per block
+    # runs' block ranges in the global block arrays
+    run_b0 = np.searchsorted(block_run, np.arange(n_runs), side="left")
+    run_b1 = np.append(run_b0[1:], len(bstart))
+
+    block_last_all = doc_ids[bend].astype(np.int64)
+    block_maxtf_all = np.maximum.reduceat(tfs, bstart).astype(np.int64)
+    run_start_of_block = starts[block_run]
+    gap_off_all = gcum[bstart] - gcum[run_start_of_block]
+    tf_off_all = tcum[bstart] - tcum[run_start_of_block]
+    dl_off_all = dcum[bstart] - dcum[run_start_of_block]
+    pos_off_all = row_pos_byte[bstart] - row_pos_byte[run_start_of_block]
+
+    pos_starts = row_pos_byte[starts]
+    pos_ends = row_pos_byte[ends]
+
+    out = dict(empty_cols)
+    out["run_start"] = starts
+    out["df_local"] = run_lens.tolist()
+    out["doc_gaps"] = [gblob[gcum[s]:gcum[e]] for s, e in zip(starts, ends)]
+    out["tfs"] = [tblob[tcum[s]:tcum[e]] for s, e in zip(starts, ends)]
+    out["dls"] = [dblob[dcum[s]:dcum[e]] for s, e in zip(starts, ends)]
+    out["positions"] = [pblob[s:e] for s, e in zip(pos_starts, pos_ends)]
+    out["block_last"] = [
+        block_last_all[a:b].tolist() for a, b in zip(run_b0, run_b1)
+    ]
+    out["block_max_tf"] = [
+        block_maxtf_all[a:b].tolist() for a, b in zip(run_b0, run_b1)
+    ]
+    out["gap_offsets"] = [
+        gap_off_all[a:b].tolist() for a, b in zip(run_b0, run_b1)
+    ]
+    out["tf_offsets"] = [
+        tf_off_all[a:b].tolist() for a, b in zip(run_b0, run_b1)
+    ]
+    out["dl_offsets"] = [
+        dl_off_all[a:b].tolist() for a, b in zip(run_b0, run_b1)
+    ]
+    out["pos_offsets"] = [
+        pos_off_all[a:b].tolist() for a, b in zip(run_b0, run_b1)
+    ]
     return out
+
+
+def encode_runs(
+    term_codes: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    positions_flat: np.ndarray,
+    block: int = BLOCK,
+) -> list[dict]:
+    """Row-oriented view of :func:`encode_runs_table` (one dict per
+    run, in run order, with a ``run_start`` row index)."""
+    cols = encode_runs_table(term_codes, doc_ids, tfs, dls, positions_flat,
+                             block)
+    keys = [k for k in cols if k != "run_start"]
+    return [
+        {"run_start": int(cols["run_start"][i]),
+         **{k: cols[k][i] for k in keys}}
+        for i in range(len(cols["run_start"]))
+    ]
 
 
 def decode_segment(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -144,35 +144,34 @@ def _encode_doc_batch(pdf: pd.DataFrame, segment: int, n_buckets: int,
     run_starts = np.flatnonzero(change)
     tfs = np.diff(np.append(run_starts, total)).astype(np.int64)
 
-    runs = codec.encode_runs(
-        codes_s[run_starts], doc_s[run_starts], tfs, dls_s[run_starts],
+    run_codes = codes_s[run_starts]
+    cols = codec.encode_runs_table(
+        run_codes, doc_s[run_starts], tfs, dls_s[run_starts],
         pos_s.astype(np.uint64),
     )
-    run_codes = codes_s[run_starts]
-    rows = []
-    bucket_of = {}
-    for run in runs:
-        term = uniques[run_codes[run.pop("run_start")]]
+    first_posting = cols.pop("run_start")  # first posting row per term run
+    code_per_run = run_codes[first_posting]
+    bucket_of: dict[str, int] = {}
+    terms, buckets = [], []
+    for c in code_per_run:
+        term = uniques[c]
         b = bucket_of.get(term)
         if b is None:
             b = python_bucket(term, n_buckets)
             bucket_of[term] = b
-        rows.append({
-            "bucket": b, "term": term, "segment": segment,
-            "cf_local": 0, "lineage": lineage,
-            "n_docs_batch": n_docs_batch, **run,
-        })
-    out = pd.DataFrame(rows)
-    # cf_local per term run = sum of the run's tf values
-    run_bounds = np.flatnonzero(
-        np.diff(run_codes, prepend=run_codes[0] - 1)
-    )
-    run_ends = np.append(run_bounds[1:], len(run_codes))
-    tf_cum = np.concatenate(([0], np.cumsum(tfs)))
-    out["cf_local"] = [
-        int(tf_cum[e] - tf_cum[s]) for s, e in zip(run_bounds, run_ends)
-    ]
-    return out
+        terms.append(term)
+        buckets.append(b)
+    # cf_local per term run = sum of the run's tf values (segmented sum)
+    cf = np.add.reduceat(tfs, first_posting) if len(first_posting) else []
+    return pd.DataFrame({
+        "bucket": buckets,
+        "term": terms,
+        "segment": segment,
+        "cf_local": np.asarray(cf, dtype=np.int64),
+        "lineage": lineage,
+        "n_docs_batch": n_docs_batch,
+        **cols,
+    })
 
 
 def _make_partition_encoder(n_buckets: int, done_lineages: set[str],
