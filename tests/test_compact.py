@@ -205,3 +205,63 @@ def test_recompaction_composes(spark, mixed_index):
                                     n_buckets=8).collect()
         ]
         assert actual == expected, terms
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_compaction_states_rank_identical(spark, seed, tmp_path):
+    """Randomized: arbitrary corpora, arbitrary compaction parameters,
+    repeated compaction — every state must stay rank-identical to the
+    full scan for every query shape."""
+    import random
+
+    rng = random.Random(4200 + seed)
+    vocab = ["data", "join", "scan", "table", "merge", "idx", "key",
+             "row", "col", "zip"]
+    rows = []
+    for i in range(rng.randint(80, 200)):
+        n = rng.randint(2, 40)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n)),
+                     "en", "web", n))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    corpus_dir = str(tmp_path / "c")
+    docs.write.parquet(f"{corpus_dir}/documents.parquet")
+    index_dir = str(tmp_path / "i")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(rng.choice([16, 32, 64])))
+    try:
+        build_index(spark, corpus_dir, index_dir, n_buckets=4)
+    finally:
+        spark.conf.set(key, prev)
+
+    stored = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    queries = [
+        ([rng.choice(vocab)], rng.choice([5, 10]), False),
+        (rng.sample(vocab, 2), 10, True),
+        (rng.sample(vocab, 3), 15, False),
+    ]
+    phrase = rng.sample(vocab, 2)
+
+    def check(tag):
+        for terms, k, conj in queries:
+            want = [tuple(r) for r in
+                    bm25.bm25_topk(stored, terms, k=k, conjunctive=conj).collect()]
+            got = [tuple(r) for r in
+                   wand.wand_topk(spark, index_dir, terms, k=k,
+                                  conjunctive=conj, n_buckets=4).collect()]
+            assert got == want, (tag, terms, conj)
+        want_p = [r["doc_id"] for r in bm25.phrase_docs(stored, phrase).collect()]
+        got_p = [r["doc_id"]
+                 for r in wand.phrase_docs_indexed(spark, index_dir, phrase,
+                                                   n_buckets=4).collect()]
+        assert got_p == want_p, (tag, phrase)
+
+    check("fresh")
+    compact_index(spark, index_dir,
+                  min_run=rng.choice([4, 16, 64]),
+                  merge_factor=rng.choice([2, 4, 16]))
+    check("compacted-1")
+    compact_index(spark, index_dir, min_run=1000, merge_factor=1000)
+    check("compacted-2")
