@@ -446,6 +446,32 @@ def _member_pred(members: list[tuple[str, str]]):
     return pred
 
 
+def _pushable_member_pred(members: list[tuple[str, str]]):
+    """Weakened member predicate made ONLY of parquet-pushable leaves
+    (In / StringStartsWith), or None when some member has no pushable
+    form (a prefixless glob). Redundant with the exact predicate — it
+    exists purely so the posting SCAN gets row-group skipping; the
+    broadcast join still applies the exact semantics."""
+    from glug_spark.semantics.glob import literal_prefix
+
+    terms = [v for kind, v in members if kind == "term"]
+    parts = []
+    if terms:
+        parts.append(F.col("term").isin(terms))
+    for kind, v in members:
+        if kind == "glob":
+            prefix = literal_prefix(v)
+            if not prefix:
+                return None
+            parts.append(F.col("term").startswith(prefix))
+    if not parts:
+        return None
+    pred = parts[0]
+    for p in parts[1:]:
+        pred = pred | p
+    return pred
+
+
 def _phrase_doc_ids(per_word: dict[str, dict], words: list[str]) -> np.ndarray:
     """doc_ids containing the exact adjacent phrase — fully vectorized.
 
@@ -661,6 +687,11 @@ def _composed_from_parts(spark, postings: DataFrame, members: DataFrame,
         terms = [v for _, v in all_members]
         buckets = sorted({python_bucket(t, n_buckets) for t in terms})
         postings = postings.where(F.col("bucket").isin(buckets))
+    # redundant pushable conjunct → parquet row-group skipping on the
+    # term-sorted layout (the exact member semantics ride the join)
+    pushable = _pushable_member_pred(all_members)
+    if pushable is not None:
+        postings = postings.where(pushable)
 
     # column-prune positions unless a phrase actually needs them
     cols = _SCORING_COLS + (["positions", "pos_offsets"] if phrases else [])

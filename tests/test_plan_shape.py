@@ -1,0 +1,74 @@
+"""Physical-plan regression guards: the scan-side optimizations the
+100 TB story depends on must be visible in the plan, not just assumed.
+
+Pinned to the sandbox Spark (4.1.2); if a Spark upgrade changes the
+formatted-explain vocabulary, update the expectations deliberately.
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+import tempfile
+
+import pytest
+
+from glug_spark.index.pipeline import build_index
+from glug_spark.query import wand
+from glug_spark.query.searcher import Searcher
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def plan_index(spark):
+    d = tempfile.mkdtemp(prefix="glug_plan_")
+    build_index(spark, SF_DIR, d, n_buckets=8)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_explicit_topk_plan(spark, plan_index):
+    with Searcher(spark, plan_index, n_buckets=8, persist=False) as s:
+        plan = _formatted(s.topk(["data", "join"], k=10))
+    # bucket partition pruning reached the postings scan
+    assert re.search(r"PartitionFilters: \[.*bucket.* IN \(", plan), plan
+    # term IN-list pushed to parquet row groups
+    assert "In(term, [data,join])" in plan
+    # positions and lineage are column-pruned from the scoring read
+    m = re.search(r"ReadSchema: struct<term:string[^\n]*", plan)
+    assert m and "positions" not in m.group(0) and "lineage" not in m.group(0)
+    # top-k merge is a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # exactly ONE data exchange (the groupBy co-location); stats ride a
+    # broadcast, not a shuffle
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_glob_plan_distributed_expansion(spark, plan_index):
+    plan = _formatted(
+        wand.glob_topk(spark, plan_index, "dat*", k=10, n_buckets=8)
+    )
+    # literal prefix reaches the scan as a pushable StartsWith
+    assert "StringStartsWith(term,dat)" in plan, plan
+    # matched vocabulary is broadcast-joined (never collected: no
+    # LocalTableScan of terms, no isin literal list)
+    assert "BroadcastExchange" in plan
+    assert "isin" not in plan.lower()
+
+
+def test_full_scan_bm25_pushdown(spark):
+    from glug_spark.query import bm25
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _formatted(bm25.bm25_topk(docs, ["data"], k=10))
+    # only doc_id + text are read from the corpus
+    m = re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan)
+    assert m, plan
+    assert "TakeOrderedAndProject" in plan
