@@ -376,6 +376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": lambda s, d: dedup.exact_groups(_docs(s, d)),
         "dedup_apply": lambda s, d: dedup.dedup_apply(_docs(s, d)),
+        "curation": lambda s, d: __import__(
+            "glug_spark.operators.curation", fromlist=["curate"]
+        ).curate(_docs(s, d), min_quality=0.75, langs=["en"]),
         "minhash_bands": lambda s, d: dedup.minhash_bands(_docs(s, d)),
         "dup_pairs_minhash": lambda s, d: dedup.dup_pairs_minhash(_docs(s, d)),
         "jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_docs(s, d)),
@@ -491,6 +494,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
         "dedup_exact": dedup.EXACT_GROUPS_SQL,
         "dedup_apply": dedup.DEDUP_APPLY_SQL,
+        "curation": __import__(
+            "glug_spark.operators.curation", fromlist=["curate_sql"]
+        ).curate_sql(min_quality=0.75, langs=["en"]),
         "minhash_bands": dedup.minhash_bands_sql()
         + " ORDER BY doc_id, band_id",
         "dup_pairs_minhash": dedup.dup_pairs_minhash_sql(),

@@ -89,7 +89,8 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         build_sec = time.perf_counter() - t0
 
         headline = _headline(spark, sf_dir, out_dir)
-        next(iter(headline.values()))().collect()  # warm Python workers/JIT
+        for fn in headline.values():  # full warm pass: JIT + Python
+            fn().collect()            # workers + page cache, per plan shape
 
         timings: dict[str, float] = {}
         for name, fn in headline.items():

@@ -1,0 +1,73 @@
+"""Corpus curation: the composed cleaning pass a training-data
+pipeline runs before indexing — exact dedup + quality floor + language
+allowlist, in one declarative plan.
+
+Composition of the already-oracle-checked primitives
+(:mod:`operators.dedup`, :mod:`operators.textstats`):
+
+1. exact dedup keeps the min-doc_id copy per content hash,
+2. the quality score (length/punct/stopword heuristics) must clear a
+   floor,
+3. the detected language must be in the allowlist.
+
+Plan shape at 100 TB: one hash-agg for the keeper set (skew-free,
+content-hash keyed), a semi-join back, and pure column expressions for
+the quality/language predicates — no UDFs, no collects, fully
+pushdown-friendly. The output keeps the original document columns, so
+`build_index` consumes it directly (curate → index is the pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from glug_spark.operators import dedup, textstats
+
+
+def curate(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Cleaned corpus: deduplicated + quality-floored (+ language-
+    filtered when ``langs`` given). Returns the surviving documents'
+    (doc_id, text) plus the curation columns for audit."""
+    keep = dedup.exact_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    q = textstats.quality_score(docs).select("doc_id", "quality")
+    lid = textstats.lang_id(docs).select(
+        "doc_id", F.col("pred_lang")
+    )
+    out = (
+        docs.join(keep, "doc_id", "left_semi")
+        .join(q, "doc_id")
+        .join(lid, "doc_id")
+        .where(F.col("quality") >= F.lit(min_quality))
+    )
+    if langs:
+        out = out.where(F.col("pred_lang").isin(langs))
+    return out.select(
+        "doc_id", F.round("quality", 6).alias("quality"), "pred_lang"
+    )
+
+
+def curate_sql(min_quality: float = 0.3, langs: list[str] | None = None) -> str:
+    """Oracle twin — composed from the primitives' oracle SQL."""
+    lang_clause = ""
+    if langs:
+        quoted = ", ".join(f"'{lang}'" for lang in langs)
+        lang_clause = f"AND l.pred_lang IN ({quoted})"
+    return f"""
+WITH keep AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+q AS ({textstats.quality_score_sql()}),
+l AS ({textstats.lang_id_sql()})
+SELECT d.doc_id, round(q.quality, 6) AS quality, l.pred_lang
+FROM documents d
+JOIN keep USING (doc_id)
+JOIN q ON q.doc_id = d.doc_id
+JOIN l ON l.doc_id = d.doc_id
+WHERE q.quality >= {min_quality} {lang_clause}
+"""
