@@ -98,8 +98,29 @@ def run_once(cpus: int, sf_dir: str) -> dict:
             fn().collect()
             timings[name] = round(time.perf_counter() - t0, 4)
 
+        # batched-query throughput (service shape): 32 two-term queries
+        # in ONE job via Searcher.topk_many — amortizes the ~0.3s Arrow
+        # round-trip floor that bounds single-query latency at local[*]
+        from glug_spark.query.searcher import Searcher
+
+        s = Searcher(spark, out_dir, n_buckets=N_BUCKETS, persist=True)
+        vocab = ["data", "join", "scan", "table", "merge", "index", "sort",
+                 "row", "key", "hash", "the", "a", "fast", "order",
+                 "window", "spark"]
+        batch = {
+            f"q{i}": [vocab[i % len(vocab)], vocab[(i * 7 + 3) % len(vocab)]]
+            for i in range(32)
+        }
+        s.topk_many({"warm": ["data"]}, k=10).collect()
+        t0 = time.perf_counter()
+        s.topk_many(batch, k=10).collect()
+        batch_sec = time.perf_counter() - t0
+        s.close()
+
         total = round(sum(timings.values()), 4)
         return {
+            "batch32_sec": round(batch_sec, 4),
+            "batch_query_ms_per_q": round(batch_sec / 32 * 1000, 2),
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",

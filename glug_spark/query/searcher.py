@@ -108,6 +108,80 @@ class Searcher:
             per_group.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(k)
         )
 
+    def topk_many(self, queries: dict[str, list[str]], k: int = 10) -> DataFrame:
+        """MANY disjunctive top-k queries in ONE Spark job:
+        (query_id, rank, doc_id, score).
+
+        The per-query latency floor at local[*] is the Arrow groupBy
+        round trip (~0.3 s regardless of data); batching amortizes it —
+        the rows of each query's terms are tagged with query_id via a
+        broadcast join (a term shared by multiple queries fans out one
+        row per query), one exchange co-locates (grp), and the scorer
+        runs the MaxScore kernel per (query, group). Each query's
+        result is rank-identical to :meth:`topk` (asserted by tests).
+        """
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        qitems = [(qid, t) for qid, terms in queries.items()
+                  for t in dict.fromkeys(terms)]
+        if not qitems:
+            return self.spark.createDataFrame(
+                [], "query_id string, rank int, doc_id long, score double"
+            )
+        qterms = self.spark.createDataFrame(
+            qitems, "query_id string, term string"
+        )
+        all_terms = sorted({t for _, t in qitems})
+        buckets = sorted({python_bucket(t, self.n_buckets) for t in all_terms})
+        stats = (
+            self.term_stats
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+            .select("term", "idf")
+        )
+        rows = self._with_grp(
+            self.postings
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+            .select(*wand._SCORING_COLS)
+            .join(F.broadcast(qterms), "term")
+            .join(F.broadcast(stats), "term")
+        )
+        terms_by_query = {qid: list(dict.fromkeys(t)) for qid, t in queries.items()}
+        avgdl = self.avgdl
+
+        schema = T.StructType([
+            T.StructField("query_id", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("raw_score", T.DoubleType()),
+        ])
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for qid, qpdf in pdf.groupby("query_id", sort=False):
+                scorer = wand.make_segment_scorer(
+                    terms_by_query[qid], None, avgdl, k, False
+                )
+                res = scorer(qpdf)
+                res.insert(0, "query_id", qid)
+                outs.append(res)
+            return pd.concat(outs) if outs else pd.DataFrame(
+                {"query_id": [], "doc_id": [], "raw_score": []}
+            ).astype({"query_id": "object", "doc_id": "int64",
+                      "raw_score": "float64"})
+
+        per_group = rows.groupBy("grp").applyInPandas(score_group, schema=schema)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("raw_score"), F.asc("doc_id")
+        )
+        return (
+            per_group.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id",
+                    F.round("raw_score", 6).alias("score"))
+        )
+
     def composed_topk(self, groups, negations=None, phrases=None,
                       k: int = 10) -> DataFrame:
         negations = negations or []

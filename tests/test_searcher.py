@@ -68,3 +68,23 @@ def test_searcher_phrase_identical(spark, searcher):
     expected = [r["doc_id"] for r in bm25.phrase_docs(docs, ["table", "scan"]).collect()]
     got = [r["doc_id"] for r in searcher.phrase_docs(["table", "scan"]).collect()]
     assert got == expected
+
+
+def test_topk_many_matches_individual(spark, searcher):
+    queries = {
+        "q1": ["data"],
+        "q2": ["table", "scan", "merge"],
+        "q3": ["the", "dup"],
+        "q4": ["nosuchterm"],
+        "q5": ["data", "join"],
+    }
+    batched = searcher.topk_many(queries, k=10).collect()
+    by_query: dict[str, list] = {}
+    for r in batched:
+        by_query.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid, terms in queries.items():
+        want = [tuple(r) for r in searcher.topk(terms, k=10).collect()]
+        got = sorted(by_query.get(qid, []))
+        assert got == want, qid
