@@ -119,11 +119,21 @@ def compact_index(
     src = os.path.join(index_dir, "postings")
     enc = spark.read.parquet(src)
 
-    # --- 1. coarsen the segmentation (compose with any existing map) ---
+    # --- 1. coarsen the segmentation (compose with any existing map).
+    # The segment universe is the UNION of the previous map's keys and
+    # the segments currently on disk — segments appended after the last
+    # compaction (stream ingest, resumed builds) enter as identity rows
+    # so they coarsen like everything else.
+    segs = enc.select(F.col("segment").alias("segment")).distinct()
     old_map = read_segmap(spark, index_dir)
     if old_map is None:
-        segs = enc.select(F.col("segment").alias("segment")).distinct()
         old_map = segs.withColumn("grp", F.col("segment"))
+    else:
+        known = old_map.select("segment")
+        new_segs = segs.join(known, "segment", "left_anti")
+        old_map = old_map.unionByName(
+            new_segs.withColumn("grp", F.col("segment"))
+        )
     pairs = old_map.collect()  # one row per ORIGINAL segment: metadata-scale
     cur_grps = sorted({int(r["grp"]) for r in pairs})
     regroup = {

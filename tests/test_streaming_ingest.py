@@ -98,3 +98,54 @@ def test_refresh_stats_consistent(spark, ingested):
     stats = refresh_stats(spark, index)
     coll = spark.read.parquet(f"{index}/collection").collect()[0]
     assert coll["n_docs"] == docs.count() == stats["n_docs"]
+
+
+def test_compact_ingest_compact_interplay(spark, tmp_path):
+    """build → compact → ingest a wave → compact again: the second
+    compaction must coarsen the stream-appended segments too (they
+    were unknown to the first segmap), and every state must stay
+    rank-identical."""
+    from glug_spark.index.compact import compact_index, read_segmap
+
+    initial = str(tmp_path / "initial")
+    arrivals = str(tmp_path / "arrivals")
+    index = str(tmp_path / "index")
+    os.makedirs(arrivals)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "64")
+    try:
+        docs.where(F.col("doc_id") < 300).write.parquet(
+            os.path.join(initial, "documents.parquet")
+        )
+        build_index(spark, initial, index, n_buckets=8)
+        compact_index(spark, index, min_run=1000, merge_factor=1000)
+
+        docs.where(F.col("doc_id") >= 300).write.parquet(
+            os.path.join(arrivals, "wave.parquet")
+        )
+        ingest_available(spark, arrivals, index, n_buckets=8)
+    finally:
+        spark.conf.set(key, prev)
+
+    def check(tag):
+        for terms, k, conj in QUERIES:
+            want = [tuple(r) for r in
+                    bm25.bm25_topk(docs, terms, k=k, conjunctive=conj).collect()]
+            got = [tuple(r) for r in
+                   wand.wand_topk(spark, index, terms, k=k, conjunctive=conj,
+                                  n_buckets=8).collect()]
+            assert got == want, (tag, terms)
+
+    check("after-ingest")
+    summary = compact_index(spark, index, min_run=1000, merge_factor=1000)
+    assert summary["groups"] == 1  # stream segments coarsened too
+    m = read_segmap(spark, index).collect()
+    segs_on_disk = {
+        r["segment"]
+        for r in spark.read.parquet(f"{index}/postings").select("segment")
+        .distinct().collect()
+    }
+    assert segs_on_disk <= ({r["grp"] for r in m} | {r["segment"] for r in m})
+    check("after-recompact")
