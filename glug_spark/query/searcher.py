@@ -210,6 +210,82 @@ class Searcher:
             phrases=plan.phrases, k=k,
         )
 
+    def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        """MANY glug-dialect query strings in ONE Spark job:
+        (query_id, rank, doc_id, score). The composed analog of
+        :meth:`topk_many` — per-query role columns ride one unioned
+        broadcast members table; the exact filtered MaxScore kernel
+        runs per (query, doc-group). Each slice is rank-identical to
+        :meth:`search` (asserted by tests)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        plans = {}
+        for qid, q in queries.items():
+            plan = parse_query(q)
+            if not plan.groups and not plan.phrases:
+                raise ValueError(f"query has no positive constraint: {q!r}")
+            plans[qid] = plan
+        if not plans:
+            return self.spark.createDataFrame(
+                [], "query_id string, rank int, doc_id long, score double"
+            )
+
+        members = None
+        any_phrases = False
+        for qid, plan in plans.items():
+            pw = list(dict.fromkeys(w for ph in plan.phrases for w in ph))
+            any_phrases = any_phrases or bool(pw)
+            m = wand.build_members(
+                self.term_stats, plan.groups, plan.negations, pw
+            ).withColumn("query_id", F.lit(qid))
+            members = m if members is None else members.unionByName(m)
+
+        cols = wand._SCORING_COLS + (
+            ["positions", "pos_offsets"] if any_phrases else []
+        )
+        rows = self._with_grp(
+            self.postings.select(*cols).join(F.broadcast(members), "term")
+        )
+
+        meta = {
+            qid: (len(plan.groups), plan.phrases)
+            for qid, plan in plans.items()
+        }
+        avgdl = self.avgdl
+
+        schema = T.StructType([
+            T.StructField("query_id", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("raw_score", T.DoubleType()),
+        ])
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for qid, qpdf in pdf.groupby("query_id", sort=False):
+                n_groups, phrases = meta[qid]
+                scorer = wand.make_composed_scorer(n_groups, phrases, avgdl, k)
+                res = scorer(qpdf)
+                res.insert(0, "query_id", qid)
+                outs.append(res)
+            return pd.concat(outs) if outs else pd.DataFrame(
+                {"query_id": [], "doc_id": [], "raw_score": []}
+            ).astype({"query_id": "object", "doc_id": "int64",
+                      "raw_score": "float64"})
+
+        per_group = rows.groupBy("grp").applyInPandas(score_group, schema=schema)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("raw_score"), F.asc("doc_id")
+        )
+        return (
+            per_group.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id",
+                    F.round("raw_score", 6).alias("score"))
+        )
+
     def phrase_docs(self, phrase: list[str]) -> DataFrame:
         uniq = list(dict.fromkeys(phrase))
         buckets = sorted({python_bucket(t, self.n_buckets) for t in uniq})

@@ -88,3 +88,23 @@ def test_topk_many_matches_individual(spark, searcher):
         want = [tuple(r) for r in searcher.topk(terms, k=10).collect()]
         got = sorted(by_query.get(qid, []))
         assert got == want, qid
+
+
+def test_search_many_matches_individual(spark, searcher):
+    queries = {
+        "a": "data join",
+        "b": 'dat* -noise',
+        "c": 'the "table scan"',
+        "d": '"the the" -data',
+        "e": "table,scan merge",
+    }
+    batched = searcher.search_many(queries, k=10).collect()
+    by_query: dict[str, list] = {}
+    for r in batched:
+        by_query.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid, q in queries.items():
+        want = [tuple(r) for r in searcher.search(q, k=10).collect()]
+        got = sorted(by_query.get(qid, []))
+        assert got == want, (qid, q)
