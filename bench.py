@@ -94,9 +94,12 @@ def run_once(cpus: int, sf_dir: str) -> dict:
 
         timings: dict[str, float] = {}
         for name, fn in headline.items():
-            t0 = time.perf_counter()
-            fn().collect()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(2):  # best-of-2: hypervisor steal / GC pauses
+                t0 = time.perf_counter()
+                fn().collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
 
         # batched-query throughput (service shape): 32 two-term queries
         # in ONE job via Searcher.topk_many — amortizes the ~0.3s Arrow
