@@ -108,3 +108,68 @@ def test_search_many_matches_individual(spark, searcher):
         want = [tuple(r) for r in searcher.search(q, k=10).collect()]
         got = sorted(by_query.get(qid, []))
         assert got == want, (qid, q)
+
+
+def test_searcher_on_stream_ingested_index(spark, tmp_path):
+    """A Searcher opened AFTER ingestion sees the union corpus and is
+    rank-identical to the full scan (snapshot semantics: open after
+    mutation)."""
+    import os
+
+    from glug_spark.streaming.ingest import ingest_available
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    initial, arrivals = str(tmp_path / "i"), str(tmp_path / "a")
+    index = str(tmp_path / "x")
+    os.makedirs(arrivals)
+    docs.where(F.col("doc_id") < 250).write.parquet(
+        f"{initial}/documents.parquet"
+    )
+    docs.where(F.col("doc_id") >= 250).write.parquet(
+        f"{arrivals}/wave.parquet"
+    )
+    build_index(spark, initial, index, n_buckets=8)
+    ingest_available(spark, arrivals, index, n_buckets=8)
+    with Searcher(spark, index, n_buckets=8) as s:
+        for terms, k, conj in [(["data"], 10, False),
+                               (["data", "join"], 10, True)]:
+            want = [tuple(r) for r in
+                    bm25.bm25_topk(docs, terms, k=k, conjunctive=conj).collect()]
+            got = [tuple(r) for r in s.topk(terms, k=k, conjunctive=conj).collect()]
+            assert got == want, terms
+
+
+def test_unicode_corpus_end_to_end(spark, tmp_path):
+    """Non-ASCII corpus through the full stack: build (Python
+    tokenizer) vs full-scan (JVM tokenizer) must stay rank-identical —
+    the end-to-end guarantee on top of the token-level dialect tests."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "Ελληνική λέξη και άλλη λέξη",
+        "українська мова текст мова",
+        "한국어 텍스트 한국어 조각",
+        "mixed ascii και ελληνικά text",
+        "Ελληνική text text ¼ Ⅻ",
+        "данные данные текст",
+    ] * 30
+    docs = spark.createDataFrame(
+        [(i, t, "xx", "web", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus_dir = str(tmp_path / "c")
+    docs.write.parquet(f"{corpus_dir}/documents.parquet")
+    index = str(tmp_path / "x")
+    build_index(spark, corpus_dir, index, n_buckets=4)
+    stored = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    from glug_spark.query import wand
+    for terms, k, conj in [(["λέξη"], 10, False),
+                           (["мова", "текст"], 10, True),
+                           (["한국어", "Ελληνική", "text"], 20, False)]:
+        want = [tuple(r) for r in
+                bm25.bm25_topk(stored, terms, k=k, conjunctive=conj).collect()]
+        got = [tuple(r) for r in
+               wand.wand_topk(spark, index, terms, k=k, conjunctive=conj,
+                              n_buckets=4).collect()]
+        assert got == want, terms
