@@ -43,16 +43,22 @@ def _print_tags() -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args_raw = sys.argv[1:] if argv is None else argv
-    # option-style escapes mirror the reference CLI (main.cpp:112-126):
-    # handled before argparse so they work from any position
-    if "--version" in args_raw:
-        print(VERSION)
-        return 0
-    if "--license" in args_raw:
-        print(LICENSE)
-        return 0
-    if "--help-tags" in args_raw:
-        return _print_tags()
+    # option-style escapes mirror the reference CLI (main.cpp:112-126).
+    # Only leading options are escapes: scanning stops at the first
+    # non-option token (the subcommand), so a positional operand that
+    # happens to equal '--version' (a query string, a list expression)
+    # can never hijack the command.
+    for tok in args_raw:
+        if not tok.startswith("-"):
+            break
+        if tok == "--version":
+            print(VERSION)
+            return 0
+        if tok == "--license":
+            print(LICENSE)
+            return 0
+        if tok == "--help-tags":
+            return _print_tags()
     argv = args_raw
 
     parser = argparse.ArgumentParser(prog="glug_spark")

@@ -98,6 +98,46 @@ FROM topk
 """
 
 
+def _cent_array(cents: DataFrame) -> DataFrame:
+    """All centroids folded into ONE array<struct(list_id, c)> row
+    (n_lists rows → 1 row, sorted by list_id for determinism). The row
+    is broadcast-crossJoined onto every vector so nearest-centroid
+    assignment becomes a per-row argmax — ZERO shuffle, versus the old
+    crossJoin (n_vecs × n_lists rows) + per-vec window exchange."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("list_id"), F.col("c")))
+        ).alias("cents")
+    )
+
+
+def _assigned(emb: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """(vec_id, v, list_id): each vector tagged with its nearest centroid
+    by cosine, ties → lowest list_id. In-row argmax over the broadcast
+    centroid array: the csim doubles are the SAME sequential fold the
+    oracle's window formulation computes, and max(struct(csim, −list_id))
+    reproduces ORDER BY csim DESC, list_id ASC exactly."""
+    norm_v = _norm(F.col("v"))
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (_dot(F.col("v"), c["c"])
+                 / (norm_v * _norm(c["c"]))).alias("csim"),
+                (-c["list_id"]).alias("neg_id"),
+            ),
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .withColumn("best", best)
+        .select(
+            "vec_id", "v",
+            (-F.col("best.neg_id")).cast("int").alias("list_id"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -115,23 +155,7 @@ def ivf_topk(
     cents = emb.where(F.col("vec_id") < n_lists).select(
         F.col("vec_id").alias("list_id"), F.col("v").alias("c")
     )
-
-    sim_to_cent = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "v", "list_id",
-            (_dot(F.col("v"), F.col("c"))
-             / (_norm(F.col("v")) * _norm(F.col("c")))).alias("csim"),
-        )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("list_id")
-    )
-    assigned = (
-        sim_to_cent.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "list_id")
-    )
+    assigned = _assigned(emb, _cent_array(cents))
 
     probe_lists = (
         assigned.where(F.col("vec_id") == query_vec_id)
@@ -229,29 +253,17 @@ def ivf_topk_trained(
         centroids = train_centroids(
             sample_for_training(embeddings), n_lists=n_lists
         )
-    cents = F.broadcast(spark.createDataFrame(
+    cents = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "list_id int, c array<double>",
-    ))
+    )
 
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    sim_to_cent = emb.crossJoin(cents).select(
-        "vec_id", "v", "list_id",
-        (_dot(F.col("v"), F.col("c"))
-         / (_norm(F.col("v")) * _norm(F.col("c")))).alias("csim"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("list_id")
-    )
-    assigned = (
-        sim_to_cent.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "list_id")
-    )
+    assigned = _assigned(emb, _cent_array(cents))
     probe_lists = (
         assigned.where(F.col("vec_id") == query_vec_id)
         .select(F.col("v").alias("q"))
-        .crossJoin(cents)
+        .crossJoin(F.broadcast(cents))
         .select(
             "list_id", "q",
             (_dot(F.col("q"), F.col("c"))
@@ -397,7 +409,7 @@ def embedding_dup_pairs_lsh(
     threshold: float = 0.99,
     n_planes: int = 16,
     n_bands: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane LSH.
 
@@ -407,12 +419,34 @@ def embedding_dup_pairs_lsh(
     are verified with the exact cosine. At 10^12 rows the self-join
     touches only same-bucket pairs instead of the full cross product,
     and AQE's skew join handles hot buckets.
+
+    ``dim`` defaults to the data's actual vector length (one-row probe).
+    A wrong dim would NULL-pad ``zip_with`` and silently collapse every
+    band key to 0 (full O(n²) self-join) — so any row whose vector
+    length differs from ``dim`` fails the job loudly instead.
     """
+    if dim is None:
+        first = embeddings.select(F.size("embedding").alias("d")).first()
+        if first is None:
+            dim = 1  # empty input: planes are irrelevant
+        else:
+            dim = int(first["d"])
     planes = lsh_planes(dim, n_planes)
     per_band = n_planes // n_bands
     bits = _plane_bits(planes)
 
-    emb_v = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    emb_v = embeddings.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).where(
+        # assert_true is NULL when the predicate holds → the filter keeps
+        # every valid row and RAISES on the first dim-mismatched vector
+        # (un-prunable, unlike a dropped assert column)
+        F.assert_true(
+            F.size("v") == dim,
+            F.concat(F.lit(f"embedding dim != {dim} for vec_id "),
+                     F.col("vec_id").cast("string")),
+        ).isNull()
+    )
     band_cols = []
     for b in range(n_bands):
         key = F.lit(0).cast("long")

@@ -63,6 +63,30 @@ def test_glob_plan_distributed_expansion(spark, plan_index):
     assert "isin" not in plan.lower()
 
 
+def test_ivf_assignment_shuffle_free(spark):
+    """Nearest-centroid assignment must be a per-row argmax over the
+    broadcast centroid array — NO shuffle Exchange anywhere in the
+    assignment subplan (the old shape exchanged n_vecs × n_lists rows
+    into a per-vec window)."""
+    from glug_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", similarity._as_double("embedding").alias("v")
+    )
+    cents = emb.where("vec_id < 8").selectExpr(
+        "vec_id as list_id", "v as c"
+    )
+    assigned = similarity._assigned(emb, similarity._cent_array(cents))
+    plan = _formatted(assigned)
+    # the only Exchange is the SinglePartition fold of the n_lists
+    # centroid rows (metadata-scale, inside the broadcast subtree);
+    # the vector side itself never shuffles and there is no per-vec window
+    for m in re.finditer(r"\n\(\d+\) Exchange\n(?:.*\n)*?Arguments: (\S+)", plan):
+        assert m.group(1).startswith("SinglePartition"), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan
+
+
 def test_full_scan_bm25_pushdown(spark):
     from glug_spark.query import bm25
 
