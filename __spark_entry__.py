@@ -213,6 +213,55 @@ def _q_term_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEARCH_MIXED_QUERY = 'dat* -noise "table scan"'
 
+# --- batched service paths (Searcher.topk_many / search_many): many
+# queries answered in ONE Spark job; each slice must be rank-identical
+# to the individual call, so the oracle is the UNION of per-query SQL --
+TOPK_MANY_QUERIES: dict[str, list[str]] = {
+    "q_single": Q_SINGLE,
+    "q_or": Q_OR,
+    "q_mix": ["data", "merge"],
+    "q_rare": ["dup"],
+}
+SEARCH_MANY_QUERIES: dict[str, str] = {
+    "m_mixed": SEARCH_MIXED_QUERY,
+    "m_neg": "data -join",
+    "m_phrase": '"table scan" merge',
+}
+
+
+def _q_searcher_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glug_spark.query.searcher import Searcher
+
+    with Searcher(spark, _index_dir(spark, sf_dir), n_buckets=8,
+                  persist=False) as s:
+        return s.topk_many(TOPK_MANY_QUERIES, k=10)
+
+
+def _q_searcher_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glug_spark.query.searcher import Searcher
+
+    with Searcher(spark, _index_dir(spark, sf_dir), n_buckets=8,
+                  persist=False) as s:
+        return s.search_many(SEARCH_MANY_QUERIES, k=10)
+
+
+def _topk_many_oracle() -> str:
+    from glug_spark.query.oracle import batched_oracle_sql
+
+    return batched_oracle_sql({
+        qid: bm25.bm25_topk_sql(terms, k=10)
+        for qid, terms in TOPK_MANY_QUERIES.items()
+    })
+
+
+def _search_many_oracle() -> str:
+    from glug_spark.query.oracle import batched_oracle_sql, composed_oracle_sql
+
+    return batched_oracle_sql({
+        qid: composed_oracle_sql(q, k=10)
+        for qid, q in SEARCH_MANY_QUERIES.items()
+    })
+
 
 def _q_search_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full glug-dialect composition: glob group + negation + phrase,
@@ -366,6 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_phrase": _q_index_phrase,
         "index_glob": _q_index_glob,
         "search_mixed_indexed": _q_search_mixed_indexed,
+        # batched service paths (one job, many queries)
+        "searcher_topk_many": _q_searcher_topk_many,
+        "searcher_search_many": _q_searcher_search_many,
         # glug filter semantics over paths
         "selectfilter": _q_selectfilter,
         "typetag_select": _q_typetag_select,
@@ -487,6 +539,8 @@ def oracle_sql() -> dict[str, str]:
         "index_phrase": bm25.phrase_docs_sql(Q_PHRASE),
         "index_glob": bm25.bm25_glob_topk_sql(Q_GLOB, k=10),
         "search_mixed_indexed": _search_mixed_oracle(),
+        "searcher_topk_many": _topk_many_oracle(),
+        "searcher_search_many": _search_many_oracle(),
         "selectfilter": _select_oracle(SELECT_EXPR),
         "typetag_select": _select_oracle(TYPETAG_EXPR),
         "ignore_admission": _ignore_oracle(),

@@ -233,6 +233,7 @@ class Searcher:
 
         members = None
         any_phrases = False
+        all_member_lists = []
         for qid, plan in plans.items():
             pw = list(dict.fromkeys(w for ph in plan.phrases for w in ph))
             any_phrases = any_phrases or bool(pw)
@@ -240,12 +241,35 @@ class Searcher:
                 self.term_stats, plan.groups, plan.negations, pw
             ).withColumn("query_id", F.lit(qid))
             members = m if members is None else members.unionByName(m)
+            all_member_lists.append(
+                [mm for g in plan.groups for mm in g] + plan.negations
+                + [("term", w) for w in pw]
+            )
+
+        # scan pruning, same as composed_topk but unioned across the
+        # batch: bucket partitions prune when EVERY query's members are
+        # explicit terms; the pushable (In|StartsWith) conjunct applies
+        # when every query has a pushable form — row-group skipping on
+        # the term-sorted layout, exact semantics still ride the join
+        postings = self.postings
+        flat = [m for lst in all_member_lists for m in lst]
+        if all(kind == "term" for kind, _ in flat):
+            buckets = sorted({
+                python_bucket(v, self.n_buckets) for _, v in flat
+            })
+            postings = postings.where(F.col("bucket").isin(buckets))
+        pushables = [wand._pushable_member_pred(lst) for lst in all_member_lists]
+        if all(p is not None for p in pushables):
+            pred = pushables[0]
+            for p in pushables[1:]:
+                pred = pred | p
+            postings = postings.where(pred)
 
         cols = wand._SCORING_COLS + (
             ["positions", "pos_offsets"] if any_phrases else []
         )
         rows = self._with_grp(
-            self.postings.select(*cols).join(F.broadcast(members), "term")
+            postings.select(*cols).join(F.broadcast(members), "term")
         )
 
         meta = {

@@ -63,6 +63,20 @@ def test_glob_plan_distributed_expansion(spark, plan_index):
     assert "isin" not in plan.lower()
 
 
+def test_search_many_scan_pruned(spark, plan_index):
+    """The batched composed path must keep the single-query path's scan
+    pruning: unioned pushable predicates reach the parquet scan, and
+    all-explicit batches prune bucket partitions."""
+    with Searcher(spark, plan_index, n_buckets=8, persist=False) as s:
+        plan = _formatted(
+            s.search_many({"a": "data -join", "b": 'dat* "table scan"'}, k=5)
+        )
+        assert "StringStartsWith(term,dat)" in plan, plan
+        plan2 = _formatted(s.search_many({"a": "data", "b": "join -merge"}, k=5))
+    assert re.search(r"PartitionFilters: \[.*bucket.* IN \(", plan2), plan2
+    assert "In(term," in plan2
+
+
 def test_ivf_assignment_shuffle_free(spark):
     """Nearest-centroid assignment must be a per-row argmax over the
     broadcast centroid array — NO shuffle Exchange anywhere in the

@@ -100,6 +100,133 @@ def test_refresh_stats_consistent(spark, ingested):
     assert coll["n_docs"] == docs.count() == stats["n_docs"]
 
 
+def test_incremental_refresh_matches_full_recompute(spark, ingested):
+    """term_stats after the incremental folds must equal a from-scratch
+    aggregation over ALL encoded rows (df, idf, and collection totals)."""
+    import math
+
+    index, docs = ingested
+    enc = spark.read.parquet(f"{index}/postings")
+    n_docs = docs.count()
+    expected = {
+        r["term"]: int(r["df"])
+        for r in enc.groupBy("term").agg(F.sum("df_local").alias("df")).collect()
+    }
+    got = {
+        r["term"]: (int(r["df"]), float(r["idf"]))
+        for r in spark.read.parquet(f"{index}/term_stats").collect()
+    }
+    assert {t: d for t, (d, _) in got.items()} == expected
+    for t, (d, idf) in got.items():
+        assert idf == pytest.approx(
+            math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)), rel=1e-12
+        )
+    coll = spark.read.parquet(f"{index}/collection").collect()[0]
+    total = enc.agg(F.sum("cf_local")).collect()[0][0]
+    assert coll["total_tokens"] == total
+    assert coll["avgdl"] == pytest.approx(total / n_docs)
+    # and the state actually exists (the incremental path ran)
+    state = spark.read.parquet(f"{index}/term_stats/_stats_state").collect()
+    assert {int(r["batch_id"]) for r in state if r["batch_id"] >= 0} >= {0, 1}
+
+
+def _manual_append(spark, docs_df, batch_id, index, n_buckets=8):
+    """Replicate ingest_batch's postings append WITHOUT the manifest row
+    — the exact on-disk state a crash between the two leaves behind."""
+    from glug_spark.index.pipeline import _make_partition_encoder
+    from glug_spark.streaming.ingest import STREAM_ATTEMPT_BASE
+    from glug_spark.index.pipeline import ENCODED_SCHEMA
+
+    encoded = docs_df.select(
+        "doc_id", "text", F.input_file_name().alias("_file")
+    ).mapInPandas(
+        _make_partition_encoder(n_buckets, set(), STREAM_ATTEMPT_BASE + batch_id),
+        schema=ENCODED_SCHEMA,
+    )
+    encoded.sortWithinPartitions("bucket", "term").write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{index}/postings")
+
+
+def test_crash_between_append_and_manifest_is_adopted(spark, tmp_path):
+    """Crash after the postings append but before the manifest row:
+    the replayed batch must ADOPT the orphaned namespace (no second
+    append → no duplicated postings) and end rank-identical."""
+    initial = str(tmp_path / "initial")
+    arrivals = str(tmp_path / "arrivals")
+    index = str(tmp_path / "index")
+    os.makedirs(arrivals)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.where(F.col("doc_id") < 300).write.parquet(
+        os.path.join(initial, "documents.parquet")
+    )
+    build_index(spark, initial, index, n_buckets=8)
+    wave = docs.where(F.col("doc_id") >= 300)
+    wave.write.parquet(os.path.join(arrivals, "wave.parquet"))
+
+    # the "crashed attempt": batch 0's segments on disk, no manifest row
+    _manual_append(
+        spark, spark.read.parquet(os.path.join(arrivals, "wave.parquet")),
+        batch_id=0, index=index,
+    )
+    rows_after_crash = spark.read.parquet(f"{index}/postings").count()
+
+    s = ingest_available(spark, arrivals, index, n_buckets=8)
+    assert s["n_docs"] == docs.count()
+    # adopted, not re-appended
+    assert spark.read.parquet(f"{index}/postings").count() == rows_after_crash
+    for terms, k, conj in QUERIES:
+        want = [tuple(r) for r in
+                bm25.bm25_topk(docs, terms, k=k, conjunctive=conj).collect()]
+        got = [tuple(r) for r in
+               wand.wand_topk(spark, index, terms, k=k, conjunctive=conj,
+                              n_buckets=8).collect()]
+        assert got == want, terms
+
+
+def test_partial_append_fails_loudly(spark, tmp_path):
+    """A PARTIAL orphaned append (crash mid-job-commit) must raise, not
+    silently double-encode or serve half a batch."""
+    initial = str(tmp_path / "initial")
+    arrivals = str(tmp_path / "arrivals")
+    index = str(tmp_path / "index")
+    os.makedirs(arrivals)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.where(F.col("doc_id") < 300).write.parquet(
+        os.path.join(initial, "documents.parquet")
+    )
+    build_index(spark, initial, index, n_buckets=8)
+    wave = docs.where(F.col("doc_id") >= 300)
+    wave.write.parquet(os.path.join(arrivals, "wave.parquet"))
+
+    # half the batch lands in batch 0's namespace
+    _manual_append(
+        spark, wave.where(F.col("doc_id") < 400), batch_id=0, index=index
+    )
+    with pytest.raises(Exception, match="partial append"):
+        ingest_available(spark, arrivals, index, n_buckets=8)
+
+
+def test_colliding_doc_ids_rejected(spark, tmp_path):
+    """doc_ids overlapping the already-indexed range violate the
+    unique-id contract and must fail loudly (watermark check)."""
+    initial = str(tmp_path / "initial")
+    arrivals = str(tmp_path / "arrivals")
+    index = str(tmp_path / "index")
+    os.makedirs(arrivals)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.where(F.col("doc_id") < 300).write.parquet(
+        os.path.join(initial, "documents.parquet")
+    )
+    build_index(spark, initial, index, n_buckets=8)
+    # re-deliver docs the index already covers
+    docs.where(F.col("doc_id") < 100).write.parquet(
+        os.path.join(arrivals, "dupes.parquet")
+    )
+    with pytest.raises(Exception, match="watermark"):
+        ingest_available(spark, arrivals, index, n_buckets=8)
+
+
 def test_compact_ingest_compact_interplay(spark, tmp_path):
     """build → compact → ingest a wave → compact again: the second
     compaction must coarsen the stream-appended segments too (they
