@@ -139,6 +139,35 @@ class _Chain:
                 return decision != Decision.EXCLUDED
         return True
 
+    def decide_batch(self, parent: str, paths, names, is_dir):
+        """Vectorized :meth:`decide` for entries sharing one parent dir
+        (they walk the SAME level chain): per level, one combined-regex
+        batch pass over the whole array instead of a per-path Python
+        rule scan. Returns a keep bool array."""
+        import numpy as np
+
+        from glug_spark.semantics.filters import DEC_EXCLUDED, DEC_UNDECIDED
+
+        n = len(paths)
+        keep = np.ones(n, dtype=bool)
+        undecided = np.ones(n, dtype=bool)
+        levels: list[tuple[str, bool]] = [
+            (d, d in self.git_any) for d in self._levels_between(parent)
+        ]
+        levels.extend(self.outer)
+        for d, is_root in levels:
+            if not undecided.any():
+                break
+            filt = self.gitignores.get(d)
+            if filt is not None:
+                dec = filt.apply_batch(paths, names, is_dir)
+                newly = undecided & (dec != DEC_UNDECIDED)
+                keep[newly] = dec[newly] != DEC_EXCLUDED
+                undecided &= ~newly
+            if is_root:
+                break  # barrier: still-undecided rows stay kept
+        return keep
+
 
 def explore(
     spark_entries: DataFrame,
@@ -160,22 +189,52 @@ def explore(
     chain = _Chain([(r["path"], r["kind"], r["content"]) for r in meta_rows], root)
 
     def admit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        keep = []
-        for path, kind in zip(pdf["path"], pdf["kind"]):
-            ok = (
-                kind in ("file", "dir")
-                and _basename(path) != ".git"
-                and (path == root or path.startswith(root + "/"))
-                and path != root
-                and not chain.in_skipped_subtree(path)
-            )
-            if ok and select is not None:
-                ok = select.apply(path, kind == "dir") != Decision.EXCLUDED
-            if ok:
-                ok = chain.decide(path, kind == "dir")
-            keep.append(ok)
+        """Fully vectorized admission (no per-path Python rule scan):
+        scalar conditions are pandas column ops; the ignore-chain walk
+        groups entries by PARENT DIRECTORY (same parent ⇒ same level
+        chain) and runs each scope's combined rule regexes over the
+        whole group (semantics.filters.apply_batch)."""
+        import numpy as np
+
+        from glug_spark.semantics.filters import DEC_EXCLUDED
+
         out = pdf[["path", "kind"]].copy()
-        out["admitted"] = keep
+        if not len(pdf):
+            out["admitted"] = np.zeros(0, dtype=bool)
+            return out
+        paths = pdf["path"].reset_index(drop=True)
+        kinds = pdf["kind"].reset_index(drop=True)
+        names = paths.str.replace(r"^.*/", "", regex=True)
+        is_dir = (kinds == "dir").to_numpy()
+
+        ok = kinds.isin(["file", "dir"]).to_numpy()
+        ok &= (names != ".git").to_numpy()
+        ok &= paths.str.startswith(root + "/").to_numpy(dtype=bool)
+        for s in chain.skipped:
+            ok &= ~(
+                (paths == s) | paths.str.startswith(s + "/")
+            ).to_numpy(dtype=bool)
+        if ok.any() and select is not None:
+            dec = select.apply_batch(paths, names, is_dir)
+            ok &= dec != DEC_EXCLUDED
+        if ok.any():
+            pos_ok = np.flatnonzero(ok)
+            parents = (
+                paths.iloc[pos_ok].str.replace(r"/[^/]*$", "", regex=True)
+            )
+            groups = pd.DataFrame(
+                {"pos": pos_ok, "parent": parents.to_numpy()}
+            )
+            for parent, sub in groups.groupby("parent", sort=False):
+                pos = sub["pos"].to_numpy()
+                keep = chain.decide_batch(
+                    parent,
+                    paths.iloc[pos].reset_index(drop=True),
+                    names.iloc[pos].reset_index(drop=True),
+                    is_dir[pos],
+                )
+                ok[pos] &= keep
+        out["admitted"] = ok
         return out
 
     admitted = spark_entries.mapInPandas(

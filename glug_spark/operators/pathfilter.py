@@ -49,31 +49,51 @@ def _decisions(filt: SelectFilter | IgnoreFilter) -> tuple[str, str, str]:
     return Decision.EXCLUDED.value, Decision.INCLUDED.value, Decision.UNDECIDED.value
 
 
+def _decision_runs(filt: SelectFilter | IgnoreFilter):
+    """CONSECUTIVE same-decision file rules combined into one alternation
+    per candidate kind (semantics.filters.build_runs) — the multi-pattern
+    single-pass analog of the reference's hyperscan provider
+    (src/regex/hyperscan.cpp:39-79): last-match-wins only needs WHICH
+    DECISION matched last, so a 500-rule chain with no inversions is ONE
+    regex evaluation instead of a 500-branch CASE."""
+    from glug_spark.semantics.filters import build_runs
+
+    return build_runs(_file_rules(filt), key_on_directory=False)
+
+
 def decision_col(filt: SelectFilter | IgnoreFilter, path: Column) -> Column:
     """Decision column ('included'/'excluded'/'undecided') for file paths."""
     plain, inverted, fallback = _decisions(filt)
     basename = F.regexp_extract(path, "[^/]+$", 0)
     expr: Column = F.lit(fallback)
-    # build ELSE→first: iterate rules forward so the LAST rule ends up as
+    # build ELSE→first: iterate runs forward so the LAST run ends up as
     # the OUTERMOST (first-tested) WHEN — last-match-wins.
-    for item in _file_rules(filt):
-        candidate = path if item.is_anchored else basename
-        hit = candidate.rlike("^(" + item.pattern + ")$")
-        expr = F.when(hit, F.lit(inverted if item.is_inverted else plain)).otherwise(expr)
+    for run in _decision_runs(filt):
+        hit: Column = F.lit(False)
+        if run.base_all is not None:
+            hit = hit | basename.rlike("^(?:" + run.base_all + ")$")
+        if run.path_all is not None:
+            hit = hit | path.rlike("^(?:" + run.path_all + ")$")
+        expr = F.when(hit, F.lit(inverted if run.is_inverted else plain)).otherwise(expr)
     return expr
 
 
 def decision_sql(filt: SelectFilter | IgnoreFilter, path_expr: str) -> str:
-    """The DuckDB mirror of :func:`decision_col`, same rules, same order."""
+    """The DuckDB mirror of :func:`decision_col`, same runs, same order."""
     plain, inverted, fallback = _decisions(filt)
     basename = f"regexp_extract({path_expr}, '[^/]+$')"
     sql = f"'{fallback}'"
-    for item in _file_rules(filt):
-        candidate = path_expr if item.is_anchored else basename
-        pattern = item.pattern.replace("'", "''")
-        decision = inverted if item.is_inverted else plain
+    for run in _decision_runs(filt):
+        hits = []
+        if run.base_all is not None:
+            p = run.base_all.replace("'", "''")
+            hits.append(f"regexp_full_match({basename}, '{p}')")
+        if run.path_all is not None:
+            p = run.path_all.replace("'", "''")
+            hits.append(f"regexp_full_match({path_expr}, '{p}')")
+        decision = inverted if run.is_inverted else plain
         sql = (
-            f"CASE WHEN regexp_full_match({candidate}, '{pattern}') "
+            f"CASE WHEN ({' OR '.join(hits)}) "
             f"THEN '{decision}' ELSE {sql} END"
         )
     return sql
