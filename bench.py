@@ -84,6 +84,17 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         n_docs = docs.count()  # warm-up + size
 
+        # JIT/classload warm-up build on the smallest corpus: the first
+        # build in a fresh JVM measures classloading (12s vs 4-6s steady
+        # state on identical input) — steady-state throughput is the
+        # number that extrapolates to a long-running cluster
+        warm_dir = tempfile.mkdtemp(prefix="glug_warm_")
+        try:
+            build_index(spark, "/root/testdata/sf0.001", warm_dir,
+                        n_buckets=N_BUCKETS)
+        finally:
+            shutil.rmtree(warm_dir, ignore_errors=True)
+
         t0 = time.perf_counter()
         build_index(spark, sf_dir, out_dir, n_buckets=N_BUCKETS)
         build_sec = time.perf_counter() - t0
@@ -120,8 +131,59 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         batch_sec = time.perf_counter() - t0
         s.close()
 
+        # incremental stats fold vs full recompute: ingest one wave of
+        # new docs, time refresh_stats (folds ONLY the wave's segments),
+        # then drop the fold state and time the full re-aggregation —
+        # the cost ratio evidences that per-batch refresh is sized by
+        # the NEW segments, not the whole index
+        import shutil as _shutil
+
+        from pyspark.sql import functions as F
+        from glug_spark.streaming import ingest as _ingest
+
+        arrivals = tempfile.mkdtemp(prefix="glug_bench_arrivals_")
+        try:
+            docs.limit(500).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            ).write.parquet(os.path.join(arrivals, "wave.parquet"))
+            stream = (
+                spark.readStream.schema(_ingest.DOC_SCHEMA)
+                .option("recursiveFileLookup", "true").parquet(arrivals)
+            )
+            wm = [_ingest._indexed_doc_watermark(spark, out_dir)]
+            q = stream.writeStream.foreachBatch(
+                lambda bdf, bid: _ingest.ingest_batch(
+                    spark, bdf, bid, out_dir, N_BUCKETS, watermark=wm)
+            ).option(
+                # NOT inside `arrivals`: the recursive source would read it
+                "checkpointLocation", os.path.join(out_dir, "bench_ckpt")
+            ).trigger(availableNow=True).start()
+            q.awaitTermination()
+            # structural flatness evidence (wall-clock at this toy scale
+            # is fixed-job-overhead-bound): encoded rows each path reads
+            enc = spark.read.parquet(os.path.join(out_dir, "postings"))
+            lo, hi = _ingest._batch_range(0)
+            wave_rows = enc.where(
+                (F.col("segment") >= lo) & (F.col("segment") < hi)
+            ).count()
+            total_rows = enc.count()
+            t0 = time.perf_counter()
+            _ingest.refresh_stats(spark, out_dir)
+            refresh_incr_sec = time.perf_counter() - t0
+            _shutil.rmtree(_ingest._stats_state_path(out_dir))
+            t0 = time.perf_counter()
+            _ingest.refresh_stats(spark, out_dir)
+            refresh_full_sec = time.perf_counter() - t0
+        finally:
+            _shutil.rmtree(arrivals, ignore_errors=True)
+
         total = round(sum(timings.values()), 4)
         return {
+            "ingest_refresh_incremental_sec": round(refresh_incr_sec, 4),
+            "stats_full_recompute_sec": round(refresh_full_sec, 4),
+            "refresh_scan_rows": {"incremental": wave_rows,
+                                  "full": total_rows},
             "batch32_sec": round(batch_sec, 4),
             "batch_query_ms_per_q": round(batch_sec / 32 * 1000, 2),
             "metric": "headline_queries_total",

@@ -235,6 +235,32 @@ WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= {threshold}
 
 # --- SimHash (Pandas UDF, batch-vectorized; md5-keyed → oracle-SQL) -----
 
+#: per-executor token→md5-prefix cache. The oracle contract pins the
+#: hash to md5(token) (per-message — no batch API exists), but Zipf
+#: means the SAME head tokens recur in every Arrow batch: caching makes
+#: the md5 cost proportional to NEW vocabulary, not batches × uniques.
+_TOKEN_HASH_CACHE: dict[str, bytes] = {}
+_TOKEN_HASH_CACHE_MAX = 4_000_000  # ~token strings + 8B each; bounded
+
+
+def _token_hashes(uniques) -> "np.ndarray":
+    import hashlib
+
+    cache = _TOKEN_HASH_CACHE
+    md5 = hashlib.md5
+    get = cache.get
+    out = []
+    for u in uniques:
+        h = get(u)
+        if h is None:
+            h = md5(u.encode("utf-8")).digest()[:8]
+            cache[u] = h
+        out.append(h)
+    if len(cache) > _TOKEN_HASH_CACHE_MAX:
+        cache.clear()
+    return np.frombuffer(b"".join(out), dtype=">u8").astype(np.uint64)
+
+
 @F.pandas_udf(T.LongType())
 def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash per text — O(batch) NumPy, no per-token Python.
@@ -246,7 +272,6 @@ def _simhash64(texts: pd.Series) -> pd.Series:
     token is the big-endian first 8 bytes of md5 — reproducible in
     oracle SQL (see ``simhash_sql``).
     """
-    import hashlib
     import re as _re
 
     pat = _re.compile(r"\w+", _re.UNICODE)
@@ -259,10 +284,7 @@ def _simhash64(texts: pd.Series) -> pd.Series:
     if not len(flat):
         return pd.Series(np.zeros(n, dtype=np.int64))
     codes, uniques = pd.factorize(flat, sort=False)
-    digests = b"".join(
-        hashlib.md5(u.encode("utf-8")).digest()[:8] for u in uniques
-    )
-    hashes = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
+    hashes = _token_hashes(uniques)
     shifts = np.arange(64, dtype=np.uint64)
     votes = (
         ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.float64)

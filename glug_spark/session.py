@@ -52,4 +52,22 @@ def get_spark(
         local_dir = os.path.join(shm, "glug-spark-local")
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _silence_final_rank_warning(spark)
+    return spark
+
+
+def _silence_final_rank_warning(spark: SparkSession) -> None:
+    """The final rank step of every top-k runs a window over the ≤k
+    already-merged rows — a deliberate single partition, so WindowExec's
+    per-query 'No Partition Defined … cause serious performance
+    degradation' warning is noise here. Raise just that logger's level
+    (log4j2 Configurator); best-effort, cosmetic only."""
+    try:
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass

@@ -304,3 +304,126 @@ def test_handcrafted_matches_git(spark, name, entries, tmp_path):
     assert got == want, (
         f"{name}: only_glug={sorted(got - want)} only_git={sorted(want - got)}"
     )
+
+
+# --- realistic wide-rule profiles ----------------------------------------
+# Shapes matched to the reference's real-repo parity corpus
+# (test/parity/repos.py:41-54): linux-style = one huge root ignore file
+# with **/anchored/negated rules over a deep tree; godot-style = very
+# wide root file, many dir-only rules; monorepo = a .gitignore in nearly
+# every directory, dozens of rules each.
+
+_EXTS = ["o", "ko", "log", "tmp", "bak", "gen", "pyc", "obj", "out", "map"]
+
+
+def _wide_rules(rng: random.Random, n: int) -> list[str]:
+    rules = []
+    for i in range(n):
+        r = rng.random()
+        ext = _EXTS[i % len(_EXTS)]
+        if r < 0.30:
+            rules.append(f"*.{ext}")
+        elif r < 0.45:
+            rules.append(f"build_{i % 23}/")
+        elif r < 0.60:
+            rules.append(f"/top_{i % 7}/gen_{i % 13}.txt")
+        elif r < 0.72:
+            rules.append(f"**/cache_{i % 11}")
+        elif r < 0.82:
+            rules.append(f"doc_{i % 9}?.md")
+        elif r < 0.90:
+            rules.append(f"[ab]tmp_{i % 5}*")
+        elif r < 0.96:
+            rules.append(f"!keep_{i % 17}.{ext}")
+        else:
+            rules.append(f"!important_{i % 3}/")
+    return rules
+
+
+def _profile_names(rng: random.Random) -> list[str]:
+    names = []
+    for i in range(rng.randint(3, 7)):
+        r = rng.random()
+        if r < 0.3:
+            names.append(f"f{i}.{_EXTS[rng.randrange(len(_EXTS))]}")
+        elif r < 0.5:
+            names.append(f"keep_{rng.randrange(20)}.{_EXTS[i % len(_EXTS)]}")
+        elif r < 0.65:
+            names.append(f"gen_{rng.randrange(15)}.txt")
+        elif r < 0.8:
+            names.append(f"cache_{rng.randrange(13)}")
+        elif r < 0.9:
+            names.append(f"doc_{rng.randrange(10)}{rng.randrange(10)}.md")
+        else:
+            names.append(f"{'ab'[i % 2]}tmp_{rng.randrange(6)}x")
+    return list(dict.fromkeys(names))
+
+
+def _gen_profile_tree(rng: random.Random, profile: str):
+    entries: list[tuple[str, str, str | None]] = []
+    if profile == "linux":
+        root_rules, per_dir_rules, depth, fanout = 250, 0, 5, 2
+    elif profile == "godot":
+        root_rules, per_dir_rules, depth, fanout = 400, 0, 3, 3
+    else:  # monorepo
+        root_rules, per_dir_rules, depth, fanout = 40, 45, 4, 2
+
+    entries.append((
+        "root/.gitignore", "file",
+        "\n".join(_wide_rules(rng, root_rules)) + "\n",
+    ))
+
+    def fill(prefix: str, d: int):
+        for name in _profile_names(rng):
+            entries.append((f"{prefix}/{name}", "file", None))
+        if per_dir_rules and prefix != "root" and rng.random() < 0.8:
+            entries.append((
+                f"{prefix}/.gitignore", "file",
+                "\n".join(_wide_rules(rng, per_dir_rules)) + "\n",
+            ))
+        if d >= depth:
+            return
+        subs = rng.sample(
+            [f"top_{rng.randrange(8)}", f"build_{rng.randrange(25)}",
+             f"sub_{d}_{rng.randrange(9)}", f"important_{rng.randrange(4)}",
+             "src", "tools"],
+            rng.randint(1, fanout),
+        )
+        for name in dict.fromkeys(subs):
+            sub = f"{prefix}/{name}"
+            if any(p == sub for p, _, _ in entries):
+                continue
+            entries.append((sub, "dir", None))
+            fill(sub, d + 1)
+
+    fill("root", 0)
+    return entries
+
+
+@pytest.mark.parametrize("profile", ["linux", "godot", "monorepo"])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_wide_rule_profile_matches_git(spark, profile, seed, tmp_path):
+    rng = random.Random(7000 + seed * 31 + hash(profile) % 1000)
+    entries = _gen_profile_tree(rng, profile)
+    n_rules = sum(
+        (c or "").count("\n")
+        for p, k, c in entries if p.endswith(".gitignore")
+    )
+    assert n_rules >= 200, f"profile not wide enough: {n_rules} rules"
+    tmp = str(tmp_path)
+    disk_root = _materialize(entries, tmp)
+
+    want = _git_listing(disk_root)
+    got = _glug_listing(spark, entries, "root")
+    assert got == want, (
+        f"{profile}/{seed} root: only_glug={sorted(got - want)[:10]} "
+        f"only_git={sorted(want - got)[:10]}"
+    )
+    for sub in _subdir_cells(entries, rng, tmp, disk_root):
+        want = _git_listing(os.path.join(tmp, sub))
+        got = _glug_listing(spark, entries, sub)
+        assert got == want, (
+            f"{profile}/{seed} subdir={sub}: "
+            f"only_glug={sorted(got - want)[:10]} "
+            f"only_git={sorted(want - got)[:10]}"
+        )
