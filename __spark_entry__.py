@@ -229,6 +229,19 @@ SEARCH_MANY_QUERIES: dict[str, str] = {
 }
 
 
+#: batched exact ANN: many query vectors, one corpus scan
+ANN_MANY_QUERY_IDS = [0, 3, 7, 11]
+
+
+def _cosine_topk_many_oracle() -> str:
+    from glug_spark.query.oracle import batched_oracle_sql
+
+    return batched_oracle_sql({
+        str(q): similarity.cosine_topk_sql(q, k=10)
+        for q in ANN_MANY_QUERY_IDS
+    })
+
+
 def _q_searcher_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glug_spark.query.searcher import Searcher
 
@@ -440,6 +453,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": lambda s, d: similarity.cosine_topk(
             corpus.load(s, d, "embeddings")
         ),
+        "cosine_topk_many": lambda s, d: similarity.cosine_topk_many(
+            corpus.load(s, d, "embeddings"), ANN_MANY_QUERY_IDS, k=10
+        ),
+        "hybrid_topk": lambda s, d: __import__(
+            "glug_spark.operators.hybrid", fromlist=["hybrid_topk"]
+        ).hybrid_topk(
+            _docs(s, d), corpus.load(s, d, "embeddings"), Q_OR,
+            query_vec_id=3, k=10, m=50,
+        ),
         "ivf_topk": lambda s, d: similarity.ivf_topk(
             corpus.load(s, d, "embeddings")
         ),
@@ -558,6 +580,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.simhash_sql(),
         "simhash_pairs": dedup.simhash_pairs_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
+        "cosine_topk_many": _cosine_topk_many_oracle(),
+        "hybrid_topk": __import__(
+            "glug_spark.operators.hybrid", fromlist=["hybrid_topk_sql"]
+        ).hybrid_topk_sql(Q_OR, query_vec_id=3, k=10, m=50),
         "ivf_topk": similarity.ivf_topk_sql(),
         "ivf_topk_trained": similarity.ivf_topk_trained_sql(_ivf_centroids()),
         "embedding_dup_pairs": similarity.embedding_dup_pairs_sql(threshold=0.9),

@@ -76,6 +76,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--buckets", type=int, default=16)
 
+    qm = sub.add_parser(
+        "query-many",
+        help="batched queries, ONE Spark job (file: one per line, "
+             "optionally 'id<TAB>query')",
+    )
+    qm.add_argument("file")
+    qm.add_argument("--index", required=True)
+    qm.add_argument("-k", type=int, default=10)
+    qm.add_argument("--buckets", type=int, default=16)
+
     ls = sub.add_parser("list", help="glug-style select listing")
     ls.add_argument("expression")
     ls.add_argument("--input", required=True)
@@ -92,6 +102,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="arrivals directory (watched recursively)")
     ing.add_argument("--index", required=True)
     ing.add_argument("--buckets", type=int, default=16)
+    ing.add_argument(
+        "--no-validate-doc-ids", action="store_true",
+        help="skip the unique-doc_id watermark check (caller guarantees "
+             "globally unique ids)",
+    )
 
     args = parser.parse_args(argv)
 
@@ -116,11 +131,34 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()
             for r in rows:
                 print(f"{r['rank']}\t{r['doc_id']}\t{r['score']}")
+        elif args.command == "query-many":
+            from glug_spark.query.searcher import Searcher
+
+            queries: dict[str, str] = {}
+            with open(args.file, encoding="utf-8") as f:
+                for i, line in enumerate(f):
+                    line = line.rstrip("\n")
+                    if not line.strip():
+                        continue
+                    if "\t" in line:
+                        qid, q = line.split("\t", 1)
+                    else:
+                        qid, q = f"q{i}", line
+                    queries[qid] = q
+            with Searcher(spark, args.index, n_buckets=args.buckets,
+                          persist=False) as s:
+                rows = (
+                    s.search_many(queries, k=args.k)
+                    .orderBy("query_id", "rank").collect()
+                )
+            for r in rows:
+                print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']}")
         elif args.command == "ingest":
             from glug_spark.streaming.ingest import ingest_available
 
             print(json.dumps(ingest_available(
                 spark, args.input, args.index, n_buckets=args.buckets,
+                validate_doc_ids=not args.no_validate_doc_ids,
             )))
         elif args.command == "compact":
             from glug_spark.index.compact import compact_index

@@ -257,10 +257,24 @@ def explore(
 
     # subtree prune: drop files under any excluded directory
     # (non-enumeration semantics — negation cannot resurrect them).
-    # Broadcast anti-join on prefix: excluded dirs are few relative to files.
-    pruned = files.join(
-        F.broadcast(excluded_dirs),
-        files["path"].startswith(F.concat(F.col("dead"), F.lit("/"))),
-        "left_anti",
+    # EQUI-join on the file's ancestor chain: each file explodes into
+    # its ≤depth proper prefixes, hash-joined against the excluded-dir
+    # set — O(files × depth) with a broadcast hash join, instead of the
+    # O(files × excluded_dirs) nested-loop a startswith predicate forces.
+    segs = F.split(F.col("path"), "/")
+    ancestors = F.transform(
+        F.sequence(F.lit(1), F.size(segs) - 1),
+        lambda i: F.array_join(F.slice(segs, 1, i), "/"),
+    )
+    pruned = (
+        files.withColumn("anc", F.explode(ancestors))
+        .join(
+            F.broadcast(excluded_dirs),
+            F.col("anc") == F.col("dead"),
+            "left_anti",
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_anc"))
+        .where(F.col("n_anc") == F.size(F.split(F.col("path"), "/")) - 1)
     )
     return pruned.select("path").orderBy(dfs_order_key_col(F.col("path")))

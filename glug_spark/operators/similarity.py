@@ -189,6 +189,56 @@ def ivf_topk(
     )
 
 
+def cosine_topk_many(
+    embeddings: DataFrame, query_vec_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k for MANY query vectors in ONE job:
+    (query_id, rank, vec_id, sim) — the batched service shape of
+    :func:`cosine_topk` (each slice is rank-identical to it).
+
+    Scale shape: ONE corpus scan; the Q query vectors ride a broadcast
+    join; top-k resolves in two phases — per-input-partition top-k via
+    ``sort_array``+``slice`` on (query, spark_partition_id()) groups
+    (bounded state: a partition's rows × Q), then a final merge over
+    P×Q×k rows. No window over the full n_vecs × Q expansion, no
+    per-query job loop.
+    """
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    queries = emb.where(F.col("vec_id").isin(list(query_vec_ids))).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("q")
+    )
+    sims = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            (_dot(F.col("v"), F.col("q"))
+             / (_norm(F.col("v")) * _norm(F.col("q")))).alias("raw_sim"),
+        )
+    )
+    entry = F.struct(
+        (-F.col("raw_sim")).alias("neg"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("raw_sim").alias("raw_sim"),
+    )
+    local = (
+        sims.withColumn("salt", F.spark_partition_id())
+        .groupBy("qid", "salt")
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("top"))
+        .select("qid", F.explode("top").alias("e"))
+    )
+    merged = (
+        local.groupBy("qid")
+        .agg(F.slice(F.sort_array(F.collect_list("e")), 1, k).alias("top"))
+        .select("qid", F.posexplode("top").alias("pos", "e"))
+    )
+    return merged.select(
+        F.col("qid").cast("string").alias("query_id"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("e.vec_id").alias("vec_id"),
+        F.round("e.raw_sim", 6).alias("sim"),
+    )
+
+
 def train_centroids(
     sample_vectors: "list[list[float]]",
     n_lists: int = 8,

@@ -131,3 +131,38 @@ def test_ivf_trained_recall_reasonable(spark):
         ).collect()
     }
     assert len(exact & probed) / len(exact) >= 0.3  # prune is honest, not broken
+
+
+def test_cosine_topk_many_slices_match_individual(spark):
+    """Every batched slice must be rank-identical to cosine_topk for
+    that query vector (same order, same rounded sims)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 5, 9]
+    batched = similarity.cosine_topk_many(emb, qids, k=8).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["sim"])
+        )
+    for q in qids:
+        want = [
+            (r["rank"], r["vec_id"], r["sim"])
+            for r in similarity.cosine_topk(emb, q, k=8).collect()
+        ]
+        assert sorted(by_q[str(q)]) == want, q
+
+
+def test_cosine_topk_many_single_scan_plan(spark):
+    """One corpus scan + broadcast queries; the only wide exchange moves
+    per-partition top-k rows (bounded by partitions x Q x k), never the
+    full n_vecs x Q expansion through a window."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = similarity.cosine_topk_many(emb, [0, 5], k=8)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan, plan
+    import re
+
+    # corpus + broadcast queries (numbered plan-detail sections)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
