@@ -232,6 +232,25 @@ SEARCH_MANY_QUERIES: dict[str, str] = {
 #: batched exact ANN: many query vectors, one corpus scan
 ANN_MANY_QUERY_IDS = [0, 3, 7, 11]
 
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _q_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index probe: vectors partitioned by list_id on
+    disk, probe prunes to the probed partitions (PartitionFilters) —
+    rank-identical to ivf_topk_trained with the same frozen centroids
+    (so it shares that oracle)."""
+    d = _IVF_INDEX_CACHE.get(sf_dir)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="glug_ivf_index_")
+        similarity.build_ivf_index(
+            corpus.load(spark, sf_dir, "embeddings"), d, _ivf_centroids()
+        )
+        _IVF_INDEX_CACHE[sf_dir] = d
+    return similarity.ivf_topk_indexed(spark, d, query_vec_id=0, k=10)
+
 
 def _cosine_topk_many_oracle() -> str:
     from glug_spark.query.oracle import batched_oracle_sql
@@ -468,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_trained": lambda s, d: similarity.ivf_topk_trained(
             corpus.load(s, d, "embeddings"), centroids=_ivf_centroids()
         ),
+        "ivf_topk_indexed": _q_ivf_indexed,
         "embedding_dup_pairs": lambda s, d: similarity.embedding_dup_pairs(
             corpus.load(s, d, "embeddings"), threshold=0.9
         ),
@@ -586,6 +606,9 @@ def oracle_sql() -> dict[str, str]:
         ).hybrid_topk_sql(Q_OR, query_vec_id=3, k=10, m=50),
         "ivf_topk": similarity.ivf_topk_sql(),
         "ivf_topk_trained": similarity.ivf_topk_trained_sql(_ivf_centroids()),
+        # the persisted-index probe is rank-identical to the in-plan
+        # trained IVF with the same frozen centroids → same oracle
+        "ivf_topk_indexed": similarity.ivf_topk_trained_sql(_ivf_centroids()),
         "embedding_dup_pairs": similarity.embedding_dup_pairs_sql(threshold=0.9),
         "embedding_dup_pairs_lsh": similarity.embedding_dup_pairs_lsh_sql(
             threshold=0.9

@@ -30,6 +30,10 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+
+class _SkipRefreshBench(Exception):
+    pass
+
 #: headline queries — the index-backed (build-once / query-many) path,
 #: plus the scan-bound path filter; names match SURVEY.md §2.3 keys.
 N_BUCKETS = 16
@@ -141,8 +145,13 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         from pyspark.sql import functions as F
         from glug_spark.streaming import ingest as _ingest
 
+        # driver-bench corpora only: on the 2M-doc scaling corpus the
+        # full-recompute A/B leg would dominate the pinned-core legs
+        refresh_incr_sec = refresh_full_sec = wave_rows = total_rows = None
         arrivals = tempfile.mkdtemp(prefix="glug_bench_arrivals_")
         try:
+            if n_docs > 100_000:
+                raise _SkipRefreshBench
             docs.limit(500).select(
                 (F.col("doc_id") + 10_000_000).alias("doc_id"),
                 "text", "lang", "source", "n_chars",
@@ -175,13 +184,19 @@ def run_once(cpus: int, sf_dir: str) -> dict:
             t0 = time.perf_counter()
             _ingest.refresh_stats(spark, out_dir)
             refresh_full_sec = time.perf_counter() - t0
+        except _SkipRefreshBench:
+            pass
         finally:
             _shutil.rmtree(arrivals, ignore_errors=True)
 
         total = round(sum(timings.values()), 4)
         return {
-            "ingest_refresh_incremental_sec": round(refresh_incr_sec, 4),
-            "stats_full_recompute_sec": round(refresh_full_sec, 4),
+            "ingest_refresh_incremental_sec": (
+                round(refresh_incr_sec, 4)
+                if refresh_incr_sec is not None else None),
+            "stats_full_recompute_sec": (
+                round(refresh_full_sec, 4)
+                if refresh_full_sec is not None else None),
             "refresh_scan_rows": {"incremental": wave_rows,
                                   "full": total_rows},
             "batch32_sec": round(batch_sec, 4),

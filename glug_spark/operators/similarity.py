@@ -396,6 +396,123 @@ FROM topk
 """
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    centroids: list[list[float]],
+) -> dict:
+    """Persist an IVF index: vectors assigned to their nearest centroid
+    (shuffle-free in-row argmax) and written ``partitionBy(list_id)`` —
+    the vector-side mirror of the inverted index's bucketed layout. A
+    probe then reads ONLY the probed lists' partition directories
+    (PartitionFilters, asserted by plan tests), i.e. n_probe/n_lists of
+    the data at any corpus size. Centroids are stored alongside so the
+    query side recomputes nothing."""
+    import os
+
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "list_id int, c array<double>",
+    )
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    assigned = _assigned(emb, _cent_array(cents))
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(out_dir, "vectors")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+    sizes = (
+        spark.read.parquet(os.path.join(out_dir, "vectors"))
+        .groupBy("list_id").count().collect()
+    )
+    return {
+        "n_lists": len(centroids),
+        "n_vectors": int(sum(r["count"] for r in sizes)),
+        "list_sizes": {int(r["list_id"]): int(r["count"]) for r in sizes},
+    }
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float] | None = None,
+    query_vec_id: int | None = None,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Probe a persisted IVF index: (rank, vec_id, sim).
+
+    The probed list ids are computed DRIVER-SIDE against the stored
+    centroids (n_lists rows — metadata), so the vectors scan prunes to
+    the probed partition directories before any task launches. Results
+    are rank-identical to :func:`ivf_topk_trained` with the same
+    centroids (asserted by tests).
+    """
+    import os
+
+    cents_rows = spark.read.parquet(
+        os.path.join(index_dir, "centroids")
+    ).collect()
+    cents = {int(r["list_id"]): list(r["c"]) for r in cents_rows}
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    if query_vec is None:
+        if query_vec_id is None:
+            raise ValueError("need query_vec or query_vec_id")
+        row = vectors.where(F.col("vec_id") == query_vec_id).select("v").head()
+        if row is None:
+            return spark.createDataFrame(
+                [], "rank int, vec_id long, sim double"
+            )
+        query_vec = list(row["v"])
+    q = [float(x) for x in query_vec]
+
+    # the SAME sequential left-fold as _dot/_norm (and the oracle's
+    # list_reduce) — Python floats are IEEE doubles, so probe selection
+    # is BIT-identical to the in-plan / oracle csim ordering even on
+    # near-ties (np.dot's pairwise summation would not be)
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def _fold_norm(a: list[float]) -> float:
+        import math
+
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    qn = _fold_norm(q)
+    sims_to_cent = sorted(
+        (-(_fold_dot(q, c) / (qn * _fold_norm(c))), lid)
+        for lid, c in cents.items()
+    )
+    probe = [lid for _, lid in sims_to_cent[:n_probe]]
+
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    sims = (
+        vectors.where(F.col("list_id").isin(probe))
+        .where(
+            F.col("vec_id") != query_vec_id
+            if query_vec_id is not None else F.lit(True)
+        )
+        .select(
+            "vec_id",
+            (_dot(F.col("v"), qcol)
+             / (_norm(F.col("v")) * _norm(qcol))).alias("raw_sim"),
+        )
+    )
+    topk = sims.orderBy(F.desc("raw_sim"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("raw_sim"), F.asc("vec_id"))
+    return topk.select(
+        F.row_number().over(w).alias("rank"),
+        "vec_id",
+        F.round("raw_sim", 6).alias("sim"),
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.99
 ) -> DataFrame:

@@ -166,3 +166,34 @@ def test_cosine_topk_many_single_scan_plan(spark):
 
     # corpus + broadcast queries (numbered plan-detail sections)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
+def test_ivf_indexed_rank_identical_and_pruned(spark, tmp_path):
+    """Persisted IVF index: probe must be rank-identical to the in-plan
+    ivf_topk_trained with the same frozen centroids, and the vectors
+    scan must prune to the probed list partitions (PartitionFilters)."""
+    from glug_spark.operators.ivf_centroids import CENTROIDS
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    summary = similarity.build_ivf_index(emb, idx, CENTROIDS)
+    assert summary["n_vectors"] == emb.count()
+
+    for qid in (0, 7):
+        want = [
+            (r["rank"], r["vec_id"], r["sim"])
+            for r in similarity.ivf_topk_trained(
+                emb, qid, k=10, centroids=CENTROIDS
+            ).collect()
+        ]
+        got_df = similarity.ivf_topk_indexed(
+            spark, idx, query_vec_id=qid, k=10
+        )
+        got = [(r["rank"], r["vec_id"], r["sim"]) for r in got_df.collect()]
+        assert got == want, qid
+
+    plan = got_df._sc._jvm.PythonSQLUtils.explainString(
+        got_df._jdf.queryExecution(), "formatted"
+    )
+    import re
+    assert re.search(r"PartitionFilters: \[.*list_id.* IN \(", plan), plan
