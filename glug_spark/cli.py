@@ -90,6 +90,15 @@ def main(argv: list[str] | None = None) -> int:
     ls.add_argument("expression")
     ls.add_argument("--input", required=True)
 
+    ex = sub.add_parser(
+        "explore",
+        help="glug-style listing of a REAL directory tree "
+             "(gitignore semantics, files-first DFS order)",
+    )
+    ex.add_argument("root")
+    ex.add_argument("--select", default=None,
+                    help="select expression (globs/typetags), e.g. '*.py,#cpp'")
+
     c = sub.add_parser("compact", help="merge fragmented tail posting runs")
     c.add_argument("--index", required=True)
     c.add_argument("--min-run", type=int, default=64)
@@ -167,6 +176,24 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.index,
                 min_run=args.min_run, merge_factor=args.merge_factor,
             )))
+        elif args.command == "explore":
+            import os
+
+            from glug_spark.operators import pathfilter
+            from glug_spark.operators.explorer import explore, fs_entries
+
+            root_abs = os.path.abspath(args.root.rstrip("/"))
+            base = os.path.basename(root_abs)
+            rows = fs_entries(root_abs)
+            df = spark.createDataFrame(
+                rows, "path string, kind string, content string"
+            )
+            select = (
+                pathfilter.compile_select(args.select, anchor=base)
+                if args.select else None
+            )
+            for r in explore(df, base, select).collect():
+                print(r["path"][len(base) + 1:])
         elif args.command == "list":
             from glug_spark import corpus
             from glug_spark.operators import pathfilter

@@ -169,6 +169,55 @@ class _Chain:
         return keep
 
 
+def fs_entries(root_dir: str) -> list[tuple[str, str, str | None]]:
+    """Walk a REAL directory tree into explorer entries-table rows —
+    the reference's primary UX (`glug [root]`) on this engine: the
+    listing itself stays the distributed ``explore`` plan; only the
+    tree manifest is gathered here (config-scale for a source tree; a
+    web-scale deployment reads the manifest as a table instead).
+
+    Rows are (path, kind ∈ file|dir|link, content), rooted at
+    ``basename(root_dir)`` like the table convention; ``.gitignore``
+    files carry their content; ``.git`` directories are emitted as
+    marker rows but never descended into (their contents are not
+    filesystem entries the reference would visit).
+    """
+    import os
+
+    root_dir = os.path.abspath(root_dir)
+    base = os.path.basename(root_dir.rstrip("/"))
+    parent = os.path.dirname(root_dir.rstrip("/"))
+    entries: list[tuple[str, str, str | None]] = []
+    for dirpath, dirnames, filenames in os.walk(root_dir, followlinks=False):
+        rel_dir = os.path.relpath(dirpath, parent)
+        if rel_dir != base:
+            entries.append((rel_dir, "dir", None))
+        keep_dirs = []
+        for d in sorted(dirnames):
+            full = os.path.join(dirpath, d)
+            rel = os.path.join(rel_dir, d)
+            if os.path.islink(full):
+                entries.append((rel, "link", None))
+            elif d == ".git":
+                entries.append((rel, "dir", None))
+            else:
+                keep_dirs.append(d)
+        dirnames[:] = keep_dirs
+        for f in sorted(filenames):
+            full = os.path.join(dirpath, f)
+            rel = os.path.join(rel_dir, f)
+            if os.path.islink(full):
+                entries.append((rel, "link", None))
+                continue
+            content = None
+            if f == ".gitignore":
+                from glug_spark.semantics.lines import read_lines
+
+                content = "\n".join(read_lines(full))
+            entries.append((rel, "file", content))
+    return entries
+
+
 def explore(
     spark_entries: DataFrame,
     root: str,

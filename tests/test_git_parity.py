@@ -366,7 +366,9 @@ def _gen_profile_tree(rng: random.Random, profile: str):
     elif profile == "godot":
         root_rules, per_dir_rules, depth, fanout = 400, 0, 3, 3
     else:  # monorepo
-        root_rules, per_dir_rules, depth, fanout = 40, 45, 4, 2
+        # root file alone guarantees the ≥200-rule width floor even for
+        # sparse trees; per-dir files add the many-scopes shape
+        root_rules, per_dir_rules, depth, fanout = 200, 45, 4, 2
 
     entries.append((
         "root/.gitignore", "file",
@@ -403,7 +405,9 @@ def _gen_profile_tree(rng: random.Random, profile: str):
 @pytest.mark.parametrize("profile", ["linux", "godot", "monorepo"])
 @pytest.mark.parametrize("seed", [0, 1])
 def test_wide_rule_profile_matches_git(spark, profile, seed, tmp_path):
-    rng = random.Random(7000 + seed * 31 + hash(profile) % 1000)
+    import zlib
+
+    rng = random.Random(7000 + seed * 31 + zlib.crc32(profile.encode()) % 1000)
     entries = _gen_profile_tree(rng, profile)
     n_rules = sum(
         (c or "").count("\n")
@@ -427,3 +431,41 @@ def test_wide_rule_profile_matches_git(spark, profile, seed, tmp_path):
             f"only_glug={sorted(got - want)[:10]} "
             f"only_git={sorted(want - got)[:10]}"
         )
+
+
+def _fs_listing(spark, disk_root: str) -> set[str]:
+    """The real-filesystem entry path (fs_entries → explore), root cell."""
+    from glug_spark.operators.explorer import explore, fs_entries
+
+    rows = fs_entries(disk_root)
+    df = spark.createDataFrame(
+        rows, "path string, kind string, content string"
+    )
+    got = {r["path"] for r in explore(df, "root").collect()}
+    return {p[len("root") + 1:] for p in got}
+
+
+@pytest.mark.parametrize("seed", [2, 5, 9])
+def test_fs_walk_matches_git(spark, seed, tmp_path):
+    """fs_entries (the CLI `explore` path: REAL directory walk → entries
+    table) must produce the same admitted listing as git on disk."""
+    rng = random.Random(1000 + seed)
+    entries = _gen_tree(rng)
+    tmp = str(tmp_path)
+    disk_root = _materialize(entries, tmp)
+    want = _git_listing(disk_root)
+    got = _fs_listing(spark, disk_root)
+    assert got == want, (
+        f"seed={seed}: only_glug={sorted(got - want)[:10]} "
+        f"only_git={sorted(want - got)[:10]}"
+    )
+
+
+def test_fs_walk_matches_git_wide_profile(spark, tmp_path):
+    rng = random.Random(7300)
+    entries = _gen_profile_tree(rng, "monorepo")
+    tmp = str(tmp_path)
+    disk_root = _materialize(entries, tmp)
+    want = _git_listing(disk_root)
+    got = _fs_listing(spark, disk_root)
+    assert got == want
