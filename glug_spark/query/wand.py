@@ -69,6 +69,13 @@ def invalidate_segmap_cache(index_dir: str) -> None:
     _SEGMAP_CACHE.pop(index_dir, None)
 
 
+def invalidate_collection_cache(index_dir: str) -> None:
+    """Collection stats change when docs are ingested (n_docs/avgdl) —
+    streaming refresh calls this so later module-function queries in the
+    same process don't score with stale normalization."""
+    _COLLECTION_CACHE.pop(index_dir, None)
+
+
 def with_scoring_group(spark: SparkSession, index_dir: str, rows: DataFrame) -> DataFrame:
     """Attach the scoring-group key ``grp``.
 

@@ -143,11 +143,14 @@ def _write_stats(spark: SparkSession, index_dir: str, stats: DataFrame,
 
 def _write_collection(spark: SparkSession, index_dir: str,
                       n_docs: int, total_tokens: int) -> dict:
+    from glug_spark.query import wand as _wand
+
     avgdl = total_tokens / n_docs if n_docs else 0.0
     spark.createDataFrame(
         [(int(n_docs), avgdl, int(total_tokens))],
         "n_docs long, avgdl double, total_tokens long",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "collection"))
+    _wand.invalidate_collection_cache(index_dir)
     return {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total_tokens}
 
 
@@ -167,6 +170,13 @@ def refresh_stats(spark: SparkSession, index_dir: str) -> dict:
     recomputed column-wise for the new n_docs. Falls back to a full
     recompute over all encoded rows when there is no usable state
     (legacy index, or a crash torched term_stats mid-swap).
+
+    Ordering contract: fold BEFORE compacting — ``compact_index`` may
+    rewrite an unfolded batch's rows under a merged segment id outside
+    its namespace, hiding them from the delta scan (``ingest_available``
+    always folds at drain end, so the contract only binds direct
+    ``ingest_batch`` users). Compaction itself never changes df/cf
+    totals, so already-folded stats stay exact under any layout.
     """
     params = spark.read.parquet(os.path.join(index_dir, "params")).collect()[0]
     n_buckets = int(params["n_buckets"])
@@ -272,13 +282,20 @@ def _adopt_or_none(spark: SparkSession, index_dir: str, batch_id: int,
 
 def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
                  index_dir: str, n_buckets: int,
-                 watermark: list[int] | None = None) -> int:
+                 watermark: list[int] | None = None,
+                 done: set[int] | None = None) -> int:
     """Encode one micro-batch into appended segments. Idempotent per
     batch_id, crash-recoverable per attempt (see module docstring).
     ``watermark``: optional single-element mutable cell holding the max
     already-indexed doc_id — enforces the unique-doc_id contract and is
-    advanced in place. Returns docs ingested (0 when skipped/empty)."""
-    if int(batch_id) in _done_batches(spark, index_dir):
+    advanced in place. ``done``: the already-committed batch-id set; a
+    long drain passes one set read ONCE at start (and updated in place
+    here) instead of re-listing the manifest per micro-batch — at 10^6
+    batches the per-batch re-read would be quadratic. Returns docs
+    ingested (0 when skipped/empty)."""
+    if done is None:
+        done = _done_batches(spark, index_dir)
+    if int(batch_id) in done:
         return 0
     agg = batch_df.agg(
         F.count(F.lit(1)).alias("n"),
@@ -313,6 +330,7 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     spark.createDataFrame(
         [(int(batch_id), int(n_new))], "batch_id long, n_docs long"
     ).write.mode("append").parquet(_stream_manifest_path(index_dir))
+    done.add(int(batch_id))
     return int(n_new)
 
 
@@ -344,10 +362,11 @@ def ingest_available(
         [_indexed_doc_watermark(spark, index_dir)]
         if validate_doc_ids else None
     )
+    done = _done_batches(spark, index_dir)  # one manifest read per drain
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(spark, batch_df, batch_id, index_dir, n_buckets,
-                     watermark=wm)
+                     watermark=wm, done=done)
 
     q = (
         stream.writeStream.foreachBatch(handle)

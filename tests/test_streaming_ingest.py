@@ -276,3 +276,30 @@ def test_compact_ingest_compact_interplay(spark, tmp_path):
     }
     assert segs_on_disk <= ({r["grp"] for r in m} | {r["segment"] for r in m})
     check("after-recompact")
+
+
+def test_query_before_and_after_ingest_no_stale_cache(spark, tmp_path):
+    """A module-function query issued BEFORE ingest populates the
+    per-process collection cache; the post-ingest query must use the
+    REFRESHED n_docs/avgdl (regression: the cache used to go stale)."""
+    initial = str(tmp_path / "initial")
+    arrivals = str(tmp_path / "arrivals")
+    index = str(tmp_path / "index")
+    os.makedirs(arrivals)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.where(F.col("doc_id") < 300).write.parquet(
+        os.path.join(initial, "documents.parquet")
+    )
+    build_index(spark, initial, index, n_buckets=8)
+    # populate the collection cache with the 300-doc stats
+    wand.wand_topk(spark, index, ["data"], k=5, n_buckets=8).collect()
+
+    docs.where(F.col("doc_id") >= 300).write.parquet(
+        os.path.join(arrivals, "wave.parquet")
+    )
+    ingest_available(spark, arrivals, index, n_buckets=8)
+
+    want = [tuple(r) for r in bm25.bm25_topk(docs, ["data"], k=10).collect()]
+    got = [tuple(r) for r in
+           wand.wand_topk(spark, index, ["data"], k=10, n_buckets=8).collect()]
+    assert got == want
