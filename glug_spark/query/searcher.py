@@ -104,9 +104,7 @@ class Searcher:
         per_group = rows.groupBy("grp").applyInPandas(
             lambda pdf: scorer(pdf), schema=wand._SCORE_SCHEMA
         )
-        return wand._ranked(
-            per_group.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(k)
-        )
+        return wand._ranked_bounded(per_group, k)
 
     def topk_many(self, queries: dict[str, list[str]], k: int = 10) -> DataFrame:
         """MANY disjunctive top-k queries in ONE Spark job:

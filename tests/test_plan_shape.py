@@ -43,10 +43,14 @@ def test_explicit_topk_plan(spark, plan_index):
     # positions and lineage are column-pruned from the scoring read
     m = re.search(r"ReadSchema: struct<term:string[^\n]*", plan)
     assert m and "positions" not in m.group(0) and "lineage" not in m.group(0)
-    # top-k merge is a TakeOrdered, not a global sort
+    # single-job finalization: the rank window's `rank <= k` filter is
+    # rewritten by Catalyst into TakeOrderedAndProject BEFORE the window
+    # (LimitPushDownThroughWindow) — per-partition top-k heaps AND one
+    # Spark job (the explicit orderBy().limit() form cost 3 jobs: AQE
+    # stage materialization + CollectLimit). Exactly ONE data exchange
+    # (the groupBy co-location); stats ride a broadcast, not a shuffle.
     assert "TakeOrderedAndProject" in plan
-    # exactly ONE data exchange (the groupBy co-location); stats ride a
-    # broadcast, not a shuffle
+    assert re.search(r"\n\(\d+\) Window", plan), plan
     assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1
     assert "BroadcastExchange" in plan
 
