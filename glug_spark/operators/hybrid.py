@@ -67,12 +67,11 @@ def hybrid_topk(
             ).alias("h"),
         )
     )
-    topk = blended.orderBy(F.desc("h"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("h"), F.asc("doc_id"))
-    return topk.select(
-        F.row_number().over(w).alias("rank"),
-        "doc_id",
-        F.round("h", 6).alias("score"),
+    return (
+        blended.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", F.round("h", 6).alias("score"))
     )
 
 

@@ -41,6 +41,19 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
+def _ranked_sim(sims: DataFrame, k: int) -> DataFrame:
+    """Top-k + rank in ONE job: the rank<=k filter over an unpartitioned
+    row_number window becomes TakeOrderedAndProject + Window via
+    Catalyst's LimitPushDownThroughWindow — per-partition heaps, no
+    separate CollectLimit jobs (see query.bm25._ranked_topk)."""
+    w = Window.orderBy(F.desc("raw_sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "vec_id", F.round("raw_sim", 6).alias("sim"))
+    )
+
+
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Exact top-k nearest (cosine) to the vector with ``query_vec_id``,
     excluding itself: (rank, vec_id, sim)."""
@@ -57,13 +70,7 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
              / (_norm(F.col("v")) * _norm(F.col("q")))).alias("raw_sim"),
         )
     )
-    topk = sims.orderBy(F.desc("raw_sim"), F.asc("vec_id")).limit(k)
-    w = Window.orderBy(F.desc("raw_sim"), F.asc("vec_id"))
-    return topk.select(
-        F.row_number().over(w).alias("rank"),
-        "vec_id",
-        F.round("raw_sim", 6).alias("sim"),
-    )
+    return _ranked_sim(sims, k)
 
 
 #: DuckDB list-fold mirroring _dot/_norm sequential order (list_reduce is
@@ -180,13 +187,7 @@ def ivf_topk(
              / (_norm(F.col("v")) * _norm(F.col("q")))).alias("raw_sim"),
         )
     )
-    topk = sims.orderBy(F.desc("raw_sim"), F.asc("vec_id")).limit(k)
-    w = Window.orderBy(F.desc("raw_sim"), F.asc("vec_id"))
-    return topk.select(
-        F.row_number().over(w).alias("rank"),
-        "vec_id",
-        F.round("raw_sim", 6).alias("sim"),
-    )
+    return _ranked_sim(sims, k)
 
 
 def cosine_topk_many(
@@ -332,13 +333,7 @@ def ivf_topk_trained(
              / (_norm(F.col("v")) * _norm(F.col("q")))).alias("raw_sim"),
         )
     )
-    topk = sims.orderBy(F.desc("raw_sim"), F.asc("vec_id")).limit(k)
-    w = Window.orderBy(F.desc("raw_sim"), F.asc("vec_id"))
-    return topk.select(
-        F.row_number().over(w).alias("rank"),
-        "vec_id",
-        F.round("raw_sim", 6).alias("sim"),
-    )
+    return _ranked_sim(sims, k)
 
 
 def ivf_topk_trained_sql(
@@ -504,13 +499,7 @@ def ivf_topk_indexed(
              / (_norm(F.col("v")) * _norm(qcol))).alias("raw_sim"),
         )
     )
-    topk = sims.orderBy(F.desc("raw_sim"), F.asc("vec_id")).limit(k)
-    w = Window.orderBy(F.desc("raw_sim"), F.asc("vec_id"))
-    return topk.select(
-        F.row_number().over(w).alias("rank"),
-        "vec_id",
-        F.round("raw_sim", 6).alias("sim"),
-    )
+    return _ranked_sim(sims, k)
 
 
 def embedding_dup_pairs(

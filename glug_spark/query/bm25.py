@@ -78,6 +78,20 @@ def _contribution() -> F.Column:
     return idf * tfn
 
 
+def _ranked_topk(per_doc: DataFrame, k: int) -> DataFrame:
+    """Top-k + rank in ONE job: the ``rank <= k`` filter over an
+    unpartitioned row_number window is rewritten by Catalyst
+    (LimitPushDownThroughWindow) into TakeOrderedAndProject feeding the
+    window — per-partition top-k heaps, no separate CollectLimit jobs
+    (the explicit orderBy().limit() form costs 3 Spark jobs per query)."""
+    w = Window.orderBy(F.desc("raw_score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", F.round("raw_score", 6).alias("score"))
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: list[str],
@@ -97,13 +111,7 @@ def bm25_topk(
     if conjunctive:
         per_doc = per_doc.where(F.col("n_matched") == len(set(terms)))
 
-    topk = per_doc.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("raw_score"), F.asc("doc_id"))
-    return topk.select(
-        F.row_number().over(w).alias("rank"),
-        F.col("doc_id"),
-        F.round(F.col("raw_score"), 6).alias("score"),
-    )
+    return _ranked_topk(per_doc, k)
 
 
 def bm25_topk_sql(terms: list[str], k: int = 10, conjunctive: bool = False) -> str:
@@ -171,13 +179,7 @@ def bm25_glob_topk(docs: DataFrame, glob: str, k: int = 10) -> DataFrame:
     per_doc = scored.groupBy("doc_id").agg(
         F.sum(_contribution()).alias("raw_score")
     )
-    topk = per_doc.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("raw_score"), F.asc("doc_id"))
-    return topk.select(
-        F.row_number().over(w).alias("rank"),
-        F.col("doc_id"),
-        F.round(F.col("raw_score"), 6).alias("score"),
-    )
+    return _ranked_topk(per_doc, k)
 
 
 def bm25_glob_topk_sql(glob: str, k: int = 10) -> str:
@@ -240,13 +242,7 @@ def bm25_negated_topk(
         .distinct()
     )
     per_doc = per_doc.join(neg_docs, "doc_id", "left_anti")
-    topk = per_doc.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("raw_score"), F.asc("doc_id"))
-    return topk.select(
-        F.row_number().over(w).alias("rank"),
-        F.col("doc_id"),
-        F.round(F.col("raw_score"), 6).alias("score"),
-    )
+    return _ranked_topk(per_doc, k)
 
 
 def bm25_negated_topk_sql(terms: list[str], negated: list[str], k: int = 10) -> str:

@@ -68,13 +68,7 @@ def search(docs: DataFrame, query: str, k: int = 10) -> DataFrame:
             bm25.phrase_docs(docs, phrase), "doc_id", "left_semi"
         )
 
-    topk = per_doc.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("raw_score"), F.asc("doc_id"))
-    return topk.select(
-        F.row_number().over(w).alias("rank"),
-        F.col("doc_id"),
-        F.round(F.col("raw_score"), 6).alias("score"),
-    )
+    return bm25._ranked_topk(per_doc, k)
 
 
 def search_indexed(spark, index_dir: str, query: str, k: int = 10,
