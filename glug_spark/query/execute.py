@@ -15,7 +15,7 @@ swapping the scorer; rank-identity between the two is the parity gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from glug_spark.query import bm25
 from glug_spark.query.parser import QueryPlan, parse_query
