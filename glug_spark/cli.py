@@ -104,6 +104,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--min-run", type=int, default=64)
     c.add_argument("--merge-factor", type=int, default=32)
 
+    cu = sub.add_parser(
+        "curate",
+        help="training-data cleaning pass: exact dedup + quality floor "
+             "+ language allowlist → curated corpus dir (feed to build)",
+    )
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--min-quality", type=float, default=0.3)
+    cu.add_argument("--langs", default=None,
+                    help="comma-separated allowlist, e.g. en,de")
+
     ing = sub.add_parser(
         "ingest", help="stream newly-arrived documents into the index"
     )
@@ -140,6 +151,23 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()
             for r in rows:
                 print(f"{r['rank']}\t{r['doc_id']}\t{r['score']}")
+        elif args.command == "curate":
+            from glug_spark.operators.curation import curate_docs
+
+            docs = spark.read.parquet(f"{args.input}/documents.parquet")
+            langs = args.langs.split(",") if args.langs else None
+            out = curate_docs(docs, min_quality=args.min_quality,
+                              langs=langs)
+            out.write.mode("overwrite").parquet(
+                f"{args.output}/documents.parquet"
+            )
+            n_out = spark.read.parquet(
+                f"{args.output}/documents.parquet"
+            ).count()
+            print(json.dumps({
+                "n_in": docs.count(), "n_out": n_out,
+                "min_quality": args.min_quality, "langs": langs,
+            }))
         elif args.command == "query-many":
             from glug_spark.query.searcher import Searcher
 

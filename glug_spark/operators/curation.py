@@ -71,3 +71,15 @@ JOIN q ON q.doc_id = d.doc_id
 JOIN l ON l.doc_id = d.doc_id
 WHERE q.quality >= {min_quality} {lang_clause}
 """
+
+
+def curate_docs(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """The surviving documents with their ORIGINAL columns — what
+    ``build_index`` consumes directly (curate → index is the pipeline;
+    :func:`curate` is the audit projection the oracle checks)."""
+    kept = curate(docs, min_quality, langs).select("doc_id")
+    return docs.join(kept, "doc_id", "left_semi")

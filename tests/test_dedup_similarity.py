@@ -197,3 +197,15 @@ def test_ivf_indexed_rank_identical_and_pruned(spark, tmp_path):
     )
     import re
     assert re.search(r"PartitionFilters: \[.*list_id.* IN \(", plan), plan
+
+
+def test_curate_docs_matches_audit_projection(spark):
+    """curate_docs (full original columns, what build_index consumes)
+    must keep exactly the doc set the audit projection reports."""
+    from glug_spark.operators.curation import curate, curate_docs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    audit = {r["doc_id"] for r in curate(docs, 0.5, ["en"]).collect()}
+    full = curate_docs(docs, 0.5, ["en"])
+    assert {r["doc_id"] for r in full.select("doc_id").collect()} == audit
+    assert full.columns == docs.columns
