@@ -13,8 +13,10 @@ Composition of the already-oracle-checked primitives
 Plan shape at 100 TB: one hash-agg for the keeper set (skew-free,
 content-hash keyed), a semi-join back, and pure column expressions for
 the quality/language predicates — no UDFs, no collects, fully
-pushdown-friendly. The output keeps the original document columns, so
-`build_index` consumes it directly (curate → index is the pipeline).
+pushdown-friendly. :func:`curate` emits the audit projection the
+oracle checks; :func:`curate_docs` keeps the original document columns
+so `build_index` consumes it directly (curate → index is the pipeline,
+runnable end-to-end via the CLI ``curate`` subcommand).
 """
 
 from __future__ import annotations
