@@ -488,39 +488,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             corpus.load(s, d, "embeddings"), centroids=_ivf_centroids()
         ),
         "ivf_topk_indexed": _q_ivf_indexed,
-        "embedding_dup_pairs": lambda s, d: similarity.embedding_dup_pairs(
-            corpus.load(s, d, "embeddings"), threshold=0.9
+        # exact + LSH near-dup pairs, one row tagged by method (merged:
+        # the driver records at most 50 scoreboard rows; threshold 0.4
+        # so the gate output is NON-empty — 0.9 matched nothing on the
+        # near-random synthetic embeddings and passed vacuously)
+        "embedding_dups": lambda s, d: similarity.embedding_dups(
+            corpus.load(s, d, "embeddings"), threshold=0.4
         ),
-        "embedding_dup_pairs_lsh": lambda s, d: similarity.embedding_dup_pairs_lsh(
-            corpus.load(s, d, "embeddings"), threshold=0.9
-        ),
-        # text analysis
-        "token_count": lambda s, d: textstats.token_count(_docs(s, d)),
-        "bpe_token_count": lambda s, d: textstats.bpe_token_count(_docs(s, d)),
-        "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
-        "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
+        # text analysis (token_counts / text_quality are merged rows:
+        # engine+ws+bpe counts, quality+lang — single-scan selects)
+        "token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
+        "text_quality": lambda s, d: textstats.text_quality(_docs(s, d)),
         "fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
         "winnow_fingerprints": lambda s, d: textstats.winnow_fingerprints(
             _docs(s, d)
         ),
-        # multimodal plumbing (hashable oracle projections of the
-        # array/binary-valued operators)
-        "media_metadata": lambda s, d: multimodal.media_metadata(_docs(s, d)),
-        "media_features": lambda s, d: multimodal.feature_rows(
-            multimodal.media_table(_docs(s, d))
-        ),
-        "media_frames": lambda s, d: multimodal.frame_digests(
-            multimodal.media_table(_docs(s, d))
-        ),
-        "media_resize": lambda s, d: multimodal.resize_digests(
-            multimodal.media_table(_docs(s, d))
-        ),
-        # generic relational coverage
+        # generic relational coverage (before the media rows: these were
+        # the 5 entries the round-3 50-row driver cap silently dropped)
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
         "user_event_ranks": relational.user_event_ranks,
         "hourly_event_rollup": relational.hourly_event_rollup,
         "event_type_setops": relational.event_type_setops,
+        # multimodal plumbing (hashable oracle projections of the
+        # array/binary-valued operators; feature/frame/resize stages
+        # share one merged pipeline row)
+        "media_metadata": lambda s, d: multimodal.media_metadata(_docs(s, d)),
+        "media_pipeline": lambda s, d: multimodal.media_pipeline(
+            multimodal.media_table(_docs(s, d))
+        ),
     }
 
 
@@ -609,23 +605,16 @@ def oracle_sql() -> dict[str, str]:
         # the persisted-index probe is rank-identical to the in-plan
         # trained IVF with the same frozen centroids → same oracle
         "ivf_topk_indexed": similarity.ivf_topk_trained_sql(_ivf_centroids()),
-        "embedding_dup_pairs": similarity.embedding_dup_pairs_sql(threshold=0.9),
-        "embedding_dup_pairs_lsh": similarity.embedding_dup_pairs_lsh_sql(
-            threshold=0.9
-        ),
-        "token_count": textstats.TOKEN_COUNT_SQL,
-        "bpe_token_count": textstats.bpe_token_count_sql(),
-        "quality_score": textstats.quality_score_sql(),
-        "lang_id": textstats.lang_id_sql(),
+        "embedding_dups": similarity.embedding_dups_sql(threshold=0.4),
+        "token_counts": textstats.token_counts_sql(),
+        "text_quality": textstats.text_quality_sql(),
         "fingerprint": textstats.FINGERPRINT_SQL,
         "winnow_fingerprints": textstats.winnow_fingerprints_sql(),
-        "media_metadata": multimodal.MEDIA_METADATA_SQL,
-        "media_features": multimodal.FEATURE_ROWS_SQL,
-        "media_frames": multimodal.frame_digests_sql(),
-        "media_resize": multimodal.resize_digests_sql(),
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "top_customers": relational.top_customers_sql(),
         "user_event_ranks": relational.USER_EVENT_RANKS_SQL,
         "hourly_event_rollup": relational.HOURLY_EVENT_ROLLUP_SQL,
         "event_type_setops": relational.EVENT_TYPE_SETOPS_SQL,
+        "media_metadata": multimodal.MEDIA_METADATA_SQL,
+        "media_pipeline": multimodal.media_pipeline_sql(),
     }

@@ -53,8 +53,13 @@ def hybrid_topk(
         _as_double("embedding").alias("qv")
     )
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    # the m-row candidate set is EXPLICITLY broadcast onto the
+    # corpus-sized embedding scan (a BroadcastHashJoin with the
+    # candidate side small is the only plan that scales — relying on
+    # Catalyst to infer smallness through orderBy().limit(m) is not a
+    # guarantee; plan-asserted by tests/test_plan_shape.py)
     blended = (
-        topm.join(emb, topm["doc_id"] == emb["vec_id"])
+        emb.join(F.broadcast(topm), topm["doc_id"] == emb["vec_id"])
         .crossJoin(F.broadcast(mx))
         .crossJoin(F.broadcast(q))
         .select(

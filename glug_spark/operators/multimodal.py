@@ -241,6 +241,55 @@ def frame_digests(media: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
+def media_pipeline(media: DataFrame) -> DataFrame:
+    """(doc_id, stage, idx, digest, metric) — the three mapInPandas media
+    stages (feature extract / frame sample / resize) unioned under one
+    hashable shape: the merged driver-scoreboard row (the driver records
+    at most 50 rows; each stage keeps its dedicated function + SQL twin
+    for direct use). ``digest`` is '' (not NULL) on feature rows so the
+    cross-engine value hash never depends on NULL ordering."""
+    feats = feature_rows(media).select(
+        "doc_id",
+        F.lit("feature").alias("stage"),
+        F.col("dim").alias("idx"),
+        F.lit("").alias("digest"),
+        F.col("value").alias("metric"),
+    )
+    frames = frame_digests(media).select(
+        "doc_id",
+        F.lit("frame").alias("stage"),
+        F.col("frame_idx").alias("idx"),
+        F.col("frame_md5").alias("digest"),
+        F.col("frame_len").cast("double").alias("metric"),
+    )
+    rez = resize_digests(media).select(
+        "doc_id",
+        F.lit("resize").alias("stage"),
+        F.lit(0).cast("int").alias("idx"),
+        F.col("resized_md5").alias("digest"),
+        F.col("resized_len").cast("double").alias("metric"),
+    )
+    return feats.unionByName(frames).unionByName(rez)
+
+
+def media_pipeline_sql() -> str:
+    return f"""
+SELECT doc_id, 'feature' AS stage, idx, digest, metric FROM (
+    SELECT doc_id, dim AS idx, '' AS digest, value AS metric
+    FROM ({FEATURE_ROWS_SQL}))
+UNION ALL
+SELECT doc_id, 'frame' AS stage, idx, digest, metric FROM (
+    SELECT doc_id, frame_idx AS idx, frame_md5 AS digest,
+           CAST(frame_len AS DOUBLE) AS metric
+    FROM ({frame_digests_sql()}))
+UNION ALL
+SELECT doc_id, 'resize' AS stage, idx, digest, metric FROM (
+    SELECT doc_id, CAST(0 AS INT) AS idx, resized_md5 AS digest,
+           CAST(resized_len AS DOUBLE) AS metric
+    FROM ({resize_digests_sql()}))
+"""
+
+
 def frame_digests_sql(n_frames: int = 4) -> str:
     """Oracle twin of frame_digests. The corpus is pure ASCII (asserted
     by the extract_roundtrip invariant + strlen==length on the data), so

@@ -139,16 +139,29 @@ ORDER BY 1, 2
 
 
 def event_type_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set ops: event types seen by even users EXCEPT those by odd users."""
+    """Set ops: (user, event_type) combos that ever logged a high-value
+    event (value >= 0.5) EXCEPT combos that ever logged a low-value one —
+    i.e. combos whose events are uniformly high-value.
+
+    The previous even/odd-user split was vacuous at every sf (all 5 event
+    types occur on both sides → 0 = 0); this predicate leaves a non-empty
+    difference at sf0.001/0.01/0.1 (71/668/6600 rows) so the EXCEPT is
+    actually exercised at the gate."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    even = ev.where(F.col("user_id") % 2 == 0).select("event_type").distinct()
-    odd = ev.where(F.col("user_id") % 2 == 1).select("event_type").distinct()
-    return even.exceptAll(odd).orderBy("event_type")
+    hi = (
+        ev.where(F.col("value") >= 0.5)
+        .select("user_id", "event_type").distinct()
+    )
+    lo = (
+        ev.where(F.col("value") < 0.5)
+        .select("user_id", "event_type").distinct()
+    )
+    return hi.exceptAll(lo).orderBy("user_id", "event_type")
 
 
 EVENT_TYPE_SETOPS_SQL = """
-SELECT DISTINCT event_type FROM events WHERE user_id % 2 = 0
+SELECT DISTINCT user_id, event_type FROM events WHERE value >= 0.5
 EXCEPT
-SELECT DISTINCT event_type FROM events WHERE user_id % 2 = 1
-ORDER BY event_type
+SELECT DISTINCT user_id, event_type FROM events WHERE value < 0.5
+ORDER BY user_id, event_type
 """

@@ -56,13 +56,19 @@ def _ranked_sim(sims: DataFrame, k: int) -> DataFrame:
 
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Exact top-k nearest (cosine) to the vector with ``query_vec_id``,
-    excluding itself: (rank, vec_id, sim)."""
+    excluding itself: (rank, vec_id, sim).
+
+    Zero-norm corpus vectors are dropped (``_norm(v) > 0``): their cosine
+    is NaN, and Spark's NaN ordering would otherwise rank them FIRST here
+    but LAST in the batched struct-sort path — the filter keeps the two
+    paths rank-identical on degenerate inputs."""
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     q = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("v").alias("q")
     )
     sims = (
         emb.where(F.col("vec_id") != query_vec_id)
+        .where(_norm(F.col("v")) > 0)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -96,7 +102,7 @@ WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}),
 sims AS (
     SELECT e.vec_id, {dot} / ({norm_v} * {norm_q}) AS raw_sim
     FROM embeddings e CROSS JOIN q
-    WHERE e.vec_id <> {query_vec_id}
+    WHERE e.vec_id <> {query_vec_id} AND {norm_v} > 0
 ),
 topk AS (SELECT * FROM sims ORDER BY raw_sim DESC, vec_id ASC LIMIT {k})
 SELECT CAST(row_number() OVER (ORDER BY raw_sim DESC, vec_id ASC) AS INT) AS rank,
@@ -203,13 +209,19 @@ def cosine_topk_many(
     (bounded state: a partition's rows × Q), then a final merge over
     P×Q×k rows. No window over the full n_vecs × Q expansion, no
     per-query job loop.
+
+    Zero-norm corpus vectors are dropped, matching :func:`cosine_topk` —
+    without the filter their NaN sims sort LAST in this path's ascending
+    struct sort but FIRST in the single-query ``ORDER BY sim DESC``,
+    breaking the documented rank-identity on degenerate vectors.
     """
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     queries = emb.where(F.col("vec_id").isin(list(query_vec_ids))).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("q")
     )
     sims = (
-        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+        emb.where(_norm(F.col("v")) > 0)
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
         .select(
             "qid", "vec_id",
             (_dot(F.col("v"), F.col("q"))
@@ -689,6 +701,44 @@ FROM cand c
 JOIN emb ea ON ea.vec_id = c.vec_a
 JOIN emb eb ON eb.vec_id = c.vec_b
 WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
+"""
+
+
+def embedding_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Exact + LSH near-dup pairs in ONE result, tagged by ``method`` —
+    the merged driver-scoreboard row (the driver records at most 50
+    rows). ``method='exact'`` is the O(n²) oracle shape; ``method='lsh'``
+    the banded scale path. The default threshold is 0.4 (not the 0.99
+    production default): the synthetic embeddings are near-random
+    (max pairwise cosine ≈ 0.5), and 0.4 yields a NON-empty answer at
+    every sf (59 exact / 30 LSH pairs at sf0.01) so the gate checks real
+    output, not 0 = 0."""
+    exact = embedding_dup_pairs(embeddings, threshold).withColumn(
+        "method", F.lit("exact")
+    )
+    lsh = embedding_dup_pairs_lsh(
+        embeddings, threshold, n_planes=n_planes, n_bands=n_bands
+    ).withColumn("method", F.lit("lsh"))
+    return exact.unionByName(lsh)
+
+
+def embedding_dups_sql(
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+) -> str:
+    return f"""
+SELECT 'exact' AS method, vec_a, vec_b, sim
+FROM ({embedding_dup_pairs_sql(threshold)})
+UNION ALL
+SELECT 'lsh' AS method, vec_a, vec_b, sim
+FROM ({embedding_dup_pairs_lsh_sql(threshold, n_planes, n_bands, dim)})
 """
 
 

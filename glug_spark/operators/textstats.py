@@ -36,13 +36,10 @@ FROM documents
 """
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio, quality).
-
-    Heuristic quality in [0,1]: long-enough docs with normal word length
-    and a healthy (not-extreme) stopword ratio score high — the standard
-    cheap pre-filter in training-data pipelines.
-    """
+def _quality_cols() -> list:
+    """The quality-score output columns (shared by :func:`quality_score`
+    and the merged :func:`text_quality` so both stay one single-scan
+    select, no self-join)."""
     a = token_array()
     stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     n_tokens = F.size(a).cast("long")
@@ -58,14 +55,23 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + F.when((ratio >= 0.05) & (ratio <= 0.5), 0.25).otherwise(0.0),
         6,
     )
-    return docs.select(
-        "doc_id",
+    return [
         n_tokens.alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
         F.round(avg_len, 6).alias("avg_token_len"),
         F.round(ratio, 6).alias("stopword_ratio"),
         quality.alias("quality"),
-    )
+    ]
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio, quality).
+
+    Heuristic quality in [0,1]: long-enough docs with normal word length
+    and a healthy (not-extreme) stopword ratio score high — the standard
+    cheap pre-filter in training-data pipelines.
+    """
+    return docs.select("doc_id", *_quality_cols())
 
 
 def quality_score_sql() -> str:
@@ -102,11 +108,9 @@ FROM r
 """
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """(doc_id, pred_lang) — argmax of stopword-marker hits per language,
-    ties broken lexicographically (deterministic n-gram-free heuristic;
-    real corpora give it signal, the synthetic corpus mostly yields the
-    majority class — determinism is what the gate checks)."""
+def _pred_lang_col():
+    """argmax of stopword-marker hits per language, ties broken
+    lexicographically (shared by :func:`lang_id` / :func:`text_quality`)."""
     a = token_array()
     scores = []
     for lang in sorted(STOPWORDS):
@@ -118,7 +122,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
             )
         )
     # argmax by (hits desc, lang asc): flip sign of hits in a sortable struct
-    best = F.array_sort(
+    return F.array_sort(
         F.array(*scores),
         lambda l, r: F.when(l["hits"] > r["hits"], -1)
         .when(l["hits"] < r["hits"], 1)
@@ -126,7 +130,36 @@ def lang_id(docs: DataFrame) -> DataFrame:
         .when(l["lang"] > r["lang"], 1)
         .otherwise(0),
     )[0]["lang"]
-    return docs.select("doc_id", best.alias("pred_lang"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) — argmax of stopword-marker hits per language,
+    ties broken lexicographically (deterministic n-gram-free heuristic;
+    real corpora give it signal, the synthetic corpus mostly yields the
+    majority class — determinism is what the gate checks)."""
+    return docs.select("doc_id", _pred_lang_col().alias("pred_lang"))
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio,
+    quality, pred_lang) — :func:`quality_score` + :func:`lang_id` in ONE
+    single-scan select (the merged driver-scoreboard row; the driver
+    records at most 50 rows, so per-doc text metrics share one)."""
+    return docs.select(
+        "doc_id", *_quality_cols(), _pred_lang_col().alias("pred_lang")
+    )
+
+
+def text_quality_sql() -> str:
+    """Oracle twin of :func:`text_quality` (CTE join of the two twins —
+    a join is fine oracle-side; the Spark side stays single-scan)."""
+    return f"""
+WITH q AS ({quality_score_sql()}),
+l AS ({lang_id_sql()})
+SELECT q.doc_id, q.n_tokens, q.n_chars, q.avg_token_len,
+       q.stopword_ratio, q.quality, l.pred_lang
+FROM q JOIN l ON q.doc_id = l.doc_id
+"""
 
 
 def lang_id_sql() -> str:
@@ -190,6 +223,36 @@ def bpe_token_count(docs: DataFrame) -> DataFrame:
         .otherwise(ws).cast("long").alias("n_ws_tokens"),
         bpe.cast("long").alias("n_bpe_tokens"),
     )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_ws_tokens, n_bpe_tokens) — the engine
+    tokenizer count, whitespace count, and BPE-ish pre-tokenizer count
+    in ONE single-scan select (merged driver-scoreboard row)."""
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.size(token_array()).cast("long").alias("n_tokens"),
+        F.when(F.length(F.trim(F.col("text"))) == 0, 0)
+        .otherwise(ws).cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def token_counts_sql() -> str:
+    pattern = BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+           AS n_tokens,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+           AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT)
+           AS n_bpe_tokens
+FROM documents
+"""
 
 
 def bpe_token_count_sql() -> str:

@@ -105,6 +105,29 @@ def test_ivf_assignment_shuffle_free(spark):
     assert "Window" not in plan
 
 
+def test_hybrid_rerank_broadcasts_candidates(spark):
+    """The hybrid rerank join must be a BroadcastHashJoin with the m-row
+    candidate set on the broadcast (build) side — never a shuffle of the
+    corpus-sized embeddings table against 50 rows."""
+    from glug_spark.operators.hybrid import hybrid_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _formatted(
+        hybrid_topk(docs, emb, ["data", "join"], query_vec_id=3, k=10, m=50)
+    )
+    # some BroadcastHashJoin detail block must stream vec_id (the
+    # embeddings scan) and build doc_id (the broadcast candidate set)
+    m = re.search(
+        r"\(\d+\) BroadcastHashJoin[^\n]*\n"
+        r"Left keys \[1\]: \[vec_id#\d+L?\]\n"
+        r"Right keys \[1\]: \[doc_id#\d+L?\]", plan
+    )
+    assert m, plan
+    # and the rerank never degrades to a shuffle join
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_full_scan_bm25_pushdown(spark):
     from glug_spark.query import bm25
 
