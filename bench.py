@@ -160,10 +160,10 @@ def run_once(cpus: int, sf_dir: str) -> dict:
                 spark.readStream.schema(_ingest.DOC_SCHEMA)
                 .option("recursiveFileLookup", "true").parquet(arrivals)
             )
-            wm = [_ingest._indexed_doc_watermark(spark, out_dir)]
+            rngs = _ingest._doc_ranges(spark, out_dir)
             q = stream.writeStream.foreachBatch(
                 lambda bdf, bid: _ingest.ingest_batch(
-                    spark, bdf, bid, out_dir, N_BUCKETS, watermark=wm)
+                    spark, bdf, bid, out_dir, N_BUCKETS, ranges=rngs)
             ).option(
                 # NOT inside `arrivals`: the recursive source would read it
                 "checkpointLocation", os.path.join(out_dir, "bench_ckpt")

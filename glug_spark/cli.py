@@ -124,8 +124,18 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--buckets", type=int, default=16)
     ing.add_argument(
         "--no-validate-doc-ids", action="store_true",
-        help="skip the unique-doc_id watermark check (caller guarantees "
-             "globally unique ids)",
+        help="skip the unique-doc_id range check (caller guarantees "
+             "globally unique ids; by default a batch is accepted iff "
+             "its [min,max] doc_id interval is disjoint from the build "
+             "range and every committed batch's recorded range — any "
+             "arrival order is fine as long as intervals don't overlap)",
+    )
+    ing.add_argument(
+        "--probe-namespaces", action="store_true",
+        help="force the orphaned-append probe on every batch (only "
+             "needed to recover crash debris written by pre-marker "
+             "versions; normally the probe runs only when this batch's "
+             "attempt marker exists)",
     )
 
     args = parser.parse_args(argv)
@@ -181,6 +191,15 @@ def main(argv: list[str] | None = None) -> int:
                         qid, q = line.split("\t", 1)
                     else:
                         qid, q = f"q{i}", line
+                    if qid in queries:
+                        # silent overwrite would drop a query from the
+                        # batch — duplicate ids (explicit repeats, or an
+                        # auto 'q<N>' colliding with an explicit id on
+                        # another line) are a malformed input file
+                        parser.error(
+                            f"query-many: duplicate query id {qid!r} at "
+                            f"line {i + 1} of {args.file}"
+                        )
                     queries[qid] = q
             with Searcher(spark, args.index, n_buckets=args.buckets,
                           persist=False) as s:
@@ -196,6 +215,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(ingest_available(
                 spark, args.input, args.index, n_buckets=args.buckets,
                 validate_doc_ids=not args.no_validate_doc_ids,
+                probe_namespaces=args.probe_namespaces,
             )))
         elif args.command == "compact":
             from glug_spark.index.compact import compact_index

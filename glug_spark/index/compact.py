@@ -113,11 +113,50 @@ def compact_index(
 
     A run group is compacted when it has more than one run AND its mean
     run length < ``min_run``. Returns before/after row counts.
+
+    Refuses when an UN-MANIFESTED stream namespace exists on disk (a
+    crashed ingest attempt's orphaned append): compaction would rewrite
+    those rows under a merged segment id, hiding them from the replay's
+    namespace probe — after which the orphan can never be adopted and a
+    re-delivered batch would double-encode its docs. Run the pending
+    ingest drain (recovery) first, or delete the orphaned segments.
     """
     from glug_spark.query import wand as _wand  # segmap cache invalidation
+    from glug_spark.streaming.ingest import (
+        ATTEMPT_SPAN as _SPAN,
+        STREAM_ATTEMPT_BASE as _SBASE,
+        _done_batches,
+    )
 
     src = os.path.join(index_dir, "postings")
     enc = spark.read.parquet(src)
+
+    # --- 0. recovery-before-compaction guard ---------------------------
+    stream_first = _SBASE * _SPAN
+    stream_segs = [
+        int(r["segment"])
+        for r in enc.select("segment").where(
+            F.col("segment") >= stream_first
+        ).distinct().collect()
+    ]
+    if stream_segs:
+        committed = _done_batches(spark, index_dir)
+        orphaned = sorted({
+            s // _SPAN - _SBASE
+            for s in stream_segs
+            if (s // _SPAN - _SBASE) not in committed
+        })
+        if orphaned:
+            raise RuntimeError(
+                f"compact_index: stream batch namespace(s) {orphaned} "
+                "have segments on disk but no stream_manifest row — an "
+                "ingest attempt crashed after its append and has not "
+                "been recovered. Compacting now would rewrite the "
+                "orphaned rows under a merged segment id and make them "
+                "unrecoverable (double-encoding on redelivery). Drain "
+                "the pending ingest first (recovery adopts the "
+                "namespace), or delete its segments."
+            )
 
     # --- 1. coarsen the segmentation (compose with any existing map).
     # The segment universe is the UNION of the previous map's keys and

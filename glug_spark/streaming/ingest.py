@@ -14,23 +14,39 @@ completed micro-batch (written AFTER the postings append) makes
 restarts idempotent at micro-batch granularity. The window between the
 postings append and the manifest write is closed by RECOVERY, not by
 praying: every batch's segments live in their own id namespace
-(``STREAM_ATTEMPT_BASE + batch_id``), so a replayed batch first checks
+(``STREAM_ATTEMPT_BASE + batch_id``), and an ATTEMPT MARKER file is
+touched before the append. A replayed batch whose marker exists probes
 its namespace — rows already present mean the previous attempt crashed
 after the (job-atomic) append; the replay validates that the namespace
 covers exactly this batch's docs and ADOPTS it by writing the missing
-manifest row, or fails loudly on a partial append. A batch is therefore
-never encoded twice (the doc-space partition invariant survives every
-crash point). On a real deployment the append would be one Iceberg
-transaction; the recovery path is the parquet-dir equivalent.
-(Caveat: run a pending recovery BEFORE ``compact_index`` — compaction
-may rewrite an orphaned namespace's rows under a merged segment id,
-hiding them from the namespace probe.)
+manifest row, or fails loudly on a partial append. No marker → no prior
+attempt → the (whole-postings-metadata) probe is SKIPPED on the happy
+path, so steady-state ingest cost does not grow with index size. A
+batch is therefore never encoded twice (the doc-space partition
+invariant survives every crash point). On a real deployment the append
+would be one Iceberg transaction; the recovery path is the parquet-dir
+equivalent. Two caveats: (a) recovery must run BEFORE ``compact_index``
+— compaction may rewrite an orphaned namespace's rows under a merged
+segment id, hiding them from the probe; ``compact_index`` enforces this
+by refusing when un-manifested stream namespaces exist. (b) an orphaned
+append produced by a pre-marker version of this module has no marker;
+pass ``probe_namespaces=True`` (CLI ``--probe-namespaces``) once to
+force the probe on every batch.
 
 doc_id contract: doc_ids are globally unique across the batch build and
 every ingested batch — a colliding id would land the same doc in two
-segments and score it twice. ``ingest_available`` enforces this with a
-watermark check (max indexed doc_id, read from block metadata, never
-from decoded postings): each batch's min doc_id must exceed it.
+segments and score it twice. ``ingest_available`` enforces this with
+RANGE validation: the manifest records each committed batch's
+``[lo_doc, hi_doc]``, the batch build occupies ``(-inf, build_max]``
+(max doc_id over non-stream segments, read from block metadata — no
+posting blob is ever decoded), and a new batch is accepted iff its
+``[min, max]`` doc_id interval is disjoint from ALL of them. Batches
+may therefore arrive in ANY id order (wave 2 with lower ids after
+wave 1 is fine) as long as the intervals don't overlap; an interval
+overlap with actually-unique ids is still refused (conservative —
+escape hatch: ``validate_doc_ids=False``). Manifests written by older
+versions lack the range columns; for those the check falls back to the
+strict global watermark (min doc_id must exceed max indexed).
 
 Stats refresh is INCREMENTAL: only the not-yet-folded batches' encoded
 rows (pushed down on the segment-id namespace) are aggregated and
@@ -71,6 +87,10 @@ _STATE_SCHEMA = "batch_id long, total_tokens long"
 
 def _stream_manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "stream_manifest")
+
+
+def _attempt_marker(index_dir: str, batch_id: int) -> str:
+    return os.path.join(index_dir, "stream_attempts", str(int(batch_id)))
 
 
 def _stats_state_path(index_dir: str) -> str:
@@ -118,17 +138,109 @@ def _indexed_doc_watermark(spark: SparkSession, index_dir: str) -> int:
     return int(row["m"]) if row["m"] is not None else -1
 
 
+class DocRanges:
+    """The unique-doc_id validator: the set of doc_id intervals already
+    occupied by the index (build + committed stream batches).
+
+    ``build_hi`` bounds the batch build as ``(-inf, build_hi]`` — max
+    doc_id over NON-stream segments (after a compaction merged mixed
+    namespaces under a build-range id this may also absorb stream docs,
+    which only RAISES the bound: validation stays sound, just stricter).
+    ``legacy`` is set when manifest rows predate the range columns; the
+    check then degrades to the strict global watermark."""
+
+    def __init__(self, build_hi: int, global_hi: int,
+                 ranges: list[tuple[int, int]], legacy: bool):
+        self.build_hi = build_hi
+        self.global_hi = global_hi
+        self.ranges = list(ranges)
+        self.legacy = legacy
+
+    def validate(self, lo: int, hi: int, batch_id: int) -> None:
+        if self.legacy:
+            if lo <= self.global_hi:
+                raise ValueError(
+                    f"stream batch {batch_id}: doc_id {lo} is not above "
+                    f"the indexed watermark {self.global_hi} (manifest "
+                    "rows predate range metadata, so only the strict "
+                    "watermark check is available) — doc_ids must be "
+                    "globally unique across the build and every "
+                    "ingested batch"
+                )
+            return
+        clashes = []
+        if lo <= self.build_hi:
+            clashes.append(f"build range (-inf, {self.build_hi}]")
+        clashes += [
+            f"committed batch range [{rl}, {rh}]"
+            for rl, rh in self.ranges
+            if lo <= rh and hi >= rl
+        ]
+        if clashes:
+            raise ValueError(
+                f"stream batch {batch_id}: doc_id interval [{lo}, {hi}] "
+                f"overlaps {'; '.join(clashes)} — doc_ids must be "
+                "globally unique across the build and every ingested "
+                "batch (a collision would score the doc twice). "
+                "Disjoint intervals may arrive in any order; if these "
+                "ids really are unique despite the overlap, re-run with "
+                "validate_doc_ids=False (--no-validate-doc-ids)"
+            )
+
+    def add(self, lo: int, hi: int) -> None:
+        self.ranges.append((int(lo), int(hi)))
+        self.global_hi = max(self.global_hi, int(hi))
+
+
+def _doc_ranges(spark: SparkSession, index_dir: str) -> DocRanges:
+    """Read the occupied doc_id intervals (block metadata + manifest)."""
+    stream_first = STREAM_ATTEMPT_BASE * ATTEMPT_SPAN
+    last = F.element_at("block_last", -1)
+    row = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .agg(
+            F.max(F.when(F.col("segment") < stream_first, last)).alias("b"),
+            F.max(last).alias("g"),
+        )
+        .collect()[0]
+    )
+    build_hi = int(row["b"]) if row["b"] is not None else -1
+    global_hi = int(row["g"]) if row["g"] is not None else -1
+    ranges: list[tuple[int, int]] = []
+    legacy = False
+    p = _stream_manifest_path(index_dir)
+    if os.path.exists(p):
+        mdf = spark.read.option("mergeSchema", "true").parquet(p)
+        cols = set(mdf.columns)
+        if {"lo_doc", "hi_doc"} <= cols:
+            for r in mdf.collect():
+                if r["lo_doc"] is None or r["hi_doc"] is None:
+                    legacy = True
+                else:
+                    ranges.append((int(r["lo_doc"]), int(r["hi_doc"])))
+        else:
+            legacy = True
+    return DocRanges(build_hi, global_hi, ranges, legacy)
+
+
 def _write_stats(spark: SparkSession, index_dir: str, stats: DataFrame,
                  folded: set[int], total_tokens: int, n_docs: int) -> dict:
-    """Stage merged term_stats + folded state, swap atomically, then
-    rewrite the collection row. Crash anywhere → next refresh either
-    sees the OLD consistent state (refolds) or no term_stats at all
-    (full recompute); folded state can never outrun the stats it
-    describes because they move in the same rename."""
+    """Stage merged term_stats + folded state, swap via rename-aside,
+    then rewrite the collection row. Crash anywhere → next refresh
+    either sees the OLD consistent state (refolds) or no term_stats at
+    all (full recompute); folded state can never outrun the stats it
+    describes because they move in the same rename. The old dir is
+    renamed ASIDE (not rmtree'd in place) so a live directory exists at
+    ``stats_path`` at all times except the instant between the two
+    renames — a concurrent reader's window shrinks from an O(dir-size)
+    delete to one rename (true reader atomicity needs the Iceberg
+    catalog swap this directory layout stands in for)."""
     stats_path = os.path.join(index_dir, "term_stats")
     stage = stats_path + ".stage"
-    if os.path.exists(stage):
-        shutil.rmtree(stage)
+    bak = stats_path + ".old"
+    for leftover in (stage, bak):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     stats.write.mode("overwrite").partitionBy("bucket").parquet(stage)
     state_rows = [(int(b), None) for b in sorted(folded)]
     state_rows.append((-1, int(total_tokens)))
@@ -136,8 +248,9 @@ def _write_stats(spark: SparkSession, index_dir: str, stats: DataFrame,
         "overwrite"
     ).parquet(os.path.join(stage, "_stats_state"))
     if os.path.exists(stats_path):
-        shutil.rmtree(stats_path)
+        os.rename(stats_path, bak)
     os.rename(stage, stats_path)
+    shutil.rmtree(bak, ignore_errors=True)
     return _write_collection(spark, index_dir, n_docs, total_tokens)
 
 
@@ -282,17 +395,21 @@ def _adopt_or_none(spark: SparkSession, index_dir: str, batch_id: int,
 
 def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
                  index_dir: str, n_buckets: int,
-                 watermark: list[int] | None = None,
-                 done: set[int] | None = None) -> int:
+                 ranges: DocRanges | None = None,
+                 done: set[int] | None = None,
+                 probe_namespaces: bool = False) -> int:
     """Encode one micro-batch into appended segments. Idempotent per
     batch_id, crash-recoverable per attempt (see module docstring).
-    ``watermark``: optional single-element mutable cell holding the max
-    already-indexed doc_id — enforces the unique-doc_id contract and is
-    advanced in place. ``done``: the already-committed batch-id set; a
-    long drain passes one set read ONCE at start (and updated in place
-    here) instead of re-listing the manifest per micro-batch — at 10^6
-    batches the per-batch re-read would be quadratic. Returns docs
-    ingested (0 when skipped/empty)."""
+    ``ranges``: optional :class:`DocRanges` — enforces the unique-doc_id
+    contract by interval disjointness and is advanced in place.
+    ``done``: the already-committed batch-id set; a long drain passes
+    one set read ONCE at start (and updated in place here) instead of
+    re-listing the manifest per micro-batch — at 10^6 batches the
+    per-batch re-read would be quadratic. The namespace probe runs only
+    when this batch's attempt marker already exists (a prior attempt
+    may have crashed mid-append) or ``probe_namespaces`` forces it —
+    the happy path never scans postings metadata per batch. Returns
+    docs ingested (0 when skipped/empty)."""
     if done is None:
         done = _done_batches(spark, index_dir)
     if int(batch_id) in done:
@@ -305,17 +422,20 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     n_new = int(agg["n"])
     if n_new == 0:
         return 0
-    adopted = _adopt_or_none(spark, index_dir, batch_id, n_new)
+    marker = _attempt_marker(index_dir, batch_id)
+    crash_possible = os.path.exists(marker) or probe_namespaces
+    adopted = crash_possible and _adopt_or_none(
+        spark, index_dir, batch_id, n_new
+    )
     if not adopted:
-        if watermark is not None and int(agg["lo"]) <= watermark[0]:
-            raise ValueError(
-                f"stream batch {batch_id}: doc_id {agg['lo']} is not "
-                f"above the indexed watermark {watermark[0]} — doc_ids "
-                "must be globally unique across the build and every "
-                "ingested batch (a collision would score the doc twice)"
-            )
+        if ranges is not None:
+            ranges.validate(int(agg["lo"]), int(agg["hi"]), int(batch_id))
         attempt = STREAM_ATTEMPT_BASE + int(batch_id)
         assert attempt * ATTEMPT_SPAN < 2**62
+        # the marker is durable BEFORE the append: any later crash
+        # leaves a witness that forces the replay to probe
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        open(marker, "w").close()
         encoded = batch_df.select(
             "doc_id", "text", F.input_file_name().alias("_file")
         ).mapInPandas(
@@ -325,12 +445,19 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
         encoded.sortWithinPartitions("bucket", "term").write.mode(
             "append"
         ).partitionBy("bucket").parquet(os.path.join(index_dir, "postings"))
-    if watermark is not None:
-        watermark[0] = max(watermark[0], int(agg["hi"]))
+    if ranges is not None:
+        ranges.add(int(agg["lo"]), int(agg["hi"]))
     spark.createDataFrame(
-        [(int(batch_id), int(n_new))], "batch_id long, n_docs long"
+        [(int(batch_id), int(n_new), int(agg["lo"]), int(agg["hi"]))],
+        "batch_id long, n_docs long, lo_doc long, hi_doc long",
     ).write.mode("append").parquet(_stream_manifest_path(index_dir))
     done.add(int(batch_id))
+    # committed: drop the witness (a crash right here is covered by the
+    # manifest row — the replay skips via `done` before probing)
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
     return int(n_new)
 
 
@@ -341,14 +468,17 @@ def ingest_available(
     n_buckets: int = 16,
     checkpoint: str | None = None,
     validate_doc_ids: bool = True,
+    probe_namespaces: bool = False,
 ) -> dict:
     """Drain everything currently available in ``input_dir`` into the
     index (Trigger.AvailableNow), then fold the new batches' stats once.
 
     The stream source is the directory listing (new parquet files =
     new docs); the checkpoint directory carries source progress across
-    restarts, the stream manifest + namespace recovery make the sink
-    exactly-once at micro-batch granularity.
+    restarts, the stream manifest + attempt-marker namespace recovery
+    make the sink exactly-once at micro-batch granularity.
+    ``probe_namespaces=True`` forces the orphan probe on every batch
+    (needed only for crash debris from pre-marker versions).
     """
     checkpoint = checkpoint or os.path.join(index_dir, "stream_checkpoint")
     # recursive lookup: arrivals land as whole parquet DIRECTORIES
@@ -358,15 +488,13 @@ def ingest_available(
         .option("recursiveFileLookup", "true")
         .parquet(input_dir)
     )
-    wm = (
-        [_indexed_doc_watermark(spark, index_dir)]
-        if validate_doc_ids else None
-    )
+    ranges = _doc_ranges(spark, index_dir) if validate_doc_ids else None
     done = _done_batches(spark, index_dir)  # one manifest read per drain
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(spark, batch_df, batch_id, index_dir, n_buckets,
-                     watermark=wm, done=done)
+                     ranges=ranges, done=done,
+                     probe_namespaces=probe_namespaces)
 
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -132,11 +132,16 @@ def test_incremental_refresh_matches_full_recompute(spark, ingested):
 
 def _manual_append(spark, docs_df, batch_id, index, n_buckets=8):
     """Replicate ingest_batch's postings append WITHOUT the manifest row
-    — the exact on-disk state a crash between the two leaves behind."""
+    — the exact on-disk state a crash between the two leaves behind
+    (including the attempt marker, which the real flow touches durably
+    BEFORE the append; the replay probes only when it exists)."""
     from glug_spark.index.pipeline import _make_partition_encoder
-    from glug_spark.streaming.ingest import STREAM_ATTEMPT_BASE
+    from glug_spark.streaming.ingest import STREAM_ATTEMPT_BASE, _attempt_marker
     from glug_spark.index.pipeline import ENCODED_SCHEMA
 
+    marker = _attempt_marker(index, batch_id)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    open(marker, "w").close()
     encoded = docs_df.select(
         "doc_id", "text", F.input_file_name().alias("_file")
     ).mapInPandas(
@@ -209,7 +214,7 @@ def test_partial_append_fails_loudly(spark, tmp_path):
 
 def test_colliding_doc_ids_rejected(spark, tmp_path):
     """doc_ids overlapping the already-indexed range violate the
-    unique-id contract and must fail loudly (watermark check)."""
+    unique-id contract and must fail loudly (range-disjointness check)."""
     initial = str(tmp_path / "initial")
     arrivals = str(tmp_path / "arrivals")
     index = str(tmp_path / "index")
@@ -223,8 +228,110 @@ def test_colliding_doc_ids_rejected(spark, tmp_path):
     docs.where(F.col("doc_id") < 100).write.parquet(
         os.path.join(arrivals, "dupes.parquet")
     )
-    with pytest.raises(Exception, match="watermark"):
+    with pytest.raises(Exception, match="overlaps"):
         ingest_available(spark, arrivals, index, n_buckets=8)
+
+
+def test_out_of_order_disjoint_batches_accepted(spark, tmp_path):
+    """The unique-id check is DISJOINTNESS, not monotonicity: a later
+    drain whose doc_ids sit BELOW an earlier wave's (but above the build
+    range, disjoint from every committed batch) must ingest cleanly —
+    the old strict watermark spuriously called this a collision."""
+    initial = str(tmp_path / "initial")
+    arrivals = str(tmp_path / "arrivals")
+    index = str(tmp_path / "index")
+    os.makedirs(arrivals)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.where(F.col("doc_id") < 300).write.parquet(
+        os.path.join(initial, "documents.parquet")
+    )
+    build_index(spark, initial, index, n_buckets=8)
+
+    # wave 1: the HIGH id range arrives first
+    docs.where(F.col("doc_id") >= 420).write.parquet(
+        os.path.join(arrivals, "wave_high.parquet")
+    )
+    ingest_available(spark, arrivals, index, n_buckets=8)
+    # wave 2: LOWER (but unique, disjoint) ids arrive later
+    docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 420)).write.parquet(
+        os.path.join(arrivals, "wave_low.parquet")
+    )
+    s = ingest_available(spark, arrivals, index, n_buckets=8)
+    assert s["n_docs"] == docs.count()
+    for terms, k, conj in QUERIES:
+        want = [tuple(r) for r in
+                bm25.bm25_topk(docs, terms, k=k, conjunctive=conj).collect()]
+        got = [tuple(r) for r in
+               wand.wand_topk(spark, index, terms, k=k, conjunctive=conj,
+                              n_buckets=8).collect()]
+        assert got == want, terms
+
+
+def test_compact_refuses_unrecovered_stream_namespace(spark, tmp_path):
+    """Crash after append (no manifest row) → compact_index must REFUSE:
+    compaction would rewrite the orphaned namespace under a merged
+    segment id, making the crashed batch unrecoverable. After the drain
+    adopts it, the same compaction succeeds."""
+    from glug_spark.index.compact import compact_index
+
+    initial = str(tmp_path / "initial")
+    arrivals = str(tmp_path / "arrivals")
+    index = str(tmp_path / "index")
+    os.makedirs(arrivals)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.where(F.col("doc_id") < 300).write.parquet(
+        os.path.join(initial, "documents.parquet")
+    )
+    build_index(spark, initial, index, n_buckets=8)
+    wave = docs.where(F.col("doc_id") >= 300)
+    wave.write.parquet(os.path.join(arrivals, "wave.parquet"))
+    _manual_append(
+        spark, spark.read.parquet(os.path.join(arrivals, "wave.parquet")),
+        batch_id=0, index=index,
+    )
+
+    with pytest.raises(RuntimeError, match="no stream_manifest row"):
+        compact_index(spark, index, min_run=1000, merge_factor=1000)
+
+    # recovery (the drain adopts the orphan), then compaction is legal
+    ingest_available(spark, arrivals, index, n_buckets=8)
+    compact_index(spark, index, min_run=1000, merge_factor=1000)
+    for terms, k, conj in QUERIES:
+        want = [tuple(r) for r in
+                bm25.bm25_topk(docs, terms, k=k, conjunctive=conj).collect()]
+        got = [tuple(r) for r in
+               wand.wand_topk(spark, index, terms, k=k, conjunctive=conj,
+                              n_buckets=8).collect()]
+        assert got == want, terms
+
+
+def test_happy_path_skips_namespace_probe(spark, tmp_path, monkeypatch):
+    """No attempt marker → no orphan probe: the per-batch postings-
+    metadata scan must NOT run on a clean (non-replayed) batch."""
+    from glug_spark.streaming import ingest as ing
+
+    initial = str(tmp_path / "initial")
+    arrivals = str(tmp_path / "arrivals")
+    index = str(tmp_path / "index")
+    os.makedirs(arrivals)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.where(F.col("doc_id") < 300).write.parquet(
+        os.path.join(initial, "documents.parquet")
+    )
+    build_index(spark, initial, index, n_buckets=8)
+    docs.where(F.col("doc_id") >= 300).write.parquet(
+        os.path.join(arrivals, "wave.parquet")
+    )
+
+    probes = []
+    real = ing._adopt_or_none
+    monkeypatch.setattr(
+        ing, "_adopt_or_none",
+        lambda *a, **kw: probes.append(a) or real(*a, **kw),
+    )
+    s = ingest_available(spark, arrivals, index, n_buckets=8)
+    assert s["n_docs"] == docs.count()
+    assert probes == []  # clean first attempt: no probe job ran
 
 
 def test_compact_ingest_compact_interplay(spark, tmp_path):
