@@ -71,6 +71,10 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+#: timed repeats per query (median reported, min/max recorded)
+QUERY_REPEATS = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
+
+
 def run_once(cpus: int, sf_dir: str) -> dict:
     import statistics
 
@@ -107,14 +111,22 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         for fn in headline.values():  # full warm pass: JIT + Python
             fn().collect()            # workers + page cache, per plan shape
 
+        # median-of-N with recorded spread: best-of-2 on a 5-11%-steal
+        # VM let whichever run was quietest become "the number" (round 3
+        # produced both a phantom 45% regression and an unreproducible
+        # improvement claim that way); the median is robust to one
+        # steal-hit sample and the min/max spread is published with it
         timings: dict[str, float] = {}
+        spread: dict[str, dict] = {}
         for name, fn in headline.items():
-            best = float("inf")
-            for _ in range(2):  # best-of-2: hypervisor steal / GC pauses
+            samples = []
+            for _ in range(QUERY_REPEATS):
                 t0 = time.perf_counter()
                 fn().collect()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 4)
+            spread[name] = {"min": round(min(samples), 4),
+                            "max": round(max(samples), 4)}
 
         # batched-query throughput (service shape): 32 two-term queries
         # in ONE job via Searcher.topk_many — amortizes the ~0.3s Arrow
@@ -191,6 +203,8 @@ def run_once(cpus: int, sf_dir: str) -> dict:
 
         total = round(sum(timings.values()), 4)
         return {
+            "repeats": QUERY_REPEATS,
+            "queries_spread": spread,
             "ingest_refresh_incremental_sec": (
                 round(refresh_incr_sec, 4)
                 if refresh_incr_sec is not None else None),
@@ -240,6 +254,98 @@ def _ensure_scaling_corpus() -> str:
             spark.stop()
         open(marker, "w").close()
     return corpus_dir
+
+
+#: timed repeats per query against the 2M-doc index (median + spread)
+SCALE_QUERY_REPEATS = int(os.environ.get("SPARK_GRAFT_2M_REPEATS", "5"))
+
+
+def _code_tag() -> str:
+    """Cache key for the persisted 2M index: a hash of the encoder /
+    codec / compaction sources, so a format change in a later round
+    invalidates the cached index instead of decoding garbage."""
+    import hashlib
+
+    h = hashlib.md5()
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "glug_spark", "index")
+    for rel in ("codec.py", "pipeline.py", "compact.py"):
+        with open(os.path.join(root, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:8]
+
+
+def run_2m(cpus: int) -> dict:
+    """Query latency against the 2M-doc scaling-corpus index — the scale
+    where block-max skipping, bucket pruning and selective position
+    decode actually do work (at sf0.1's 5k docs the 0.3-0.5 s Spark /
+    Arrow scheduling floor IS the measurement). The corpus and the index
+    are cached under /tmp keyed by size + encoder-source hash; steady
+    state only runs the queries."""
+    import statistics
+
+    from glug_spark.session import get_spark
+    from glug_spark.index.pipeline import build_index
+    from glug_spark.query.searcher import Searcher
+
+    corpus_dir = _ensure_scaling_corpus()
+    spark = get_spark("glug_bench_2m", master=f"local[{cpus}]",
+                      shuffle_partitions=max(8, cpus))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 2**20))
+    try:
+        idx = f"/tmp/glug_bench_index_{SCALING_CORPUS_DOCS}_{_code_tag()}"
+        marker = os.path.join(idx, ".ok")
+        build_info = None
+        if not os.path.exists(marker):
+            shutil.rmtree(idx, ignore_errors=True)
+            t0 = time.perf_counter()
+            build_index(spark, corpus_dir, idx, n_buckets=N_BUCKETS)
+            sec = time.perf_counter() - t0
+            build_info = {
+                "build_sec": round(sec, 2),
+                "docs_per_sec": round(SCALING_CORPUS_DOCS / sec, 1),
+            }
+            open(marker, "w").close()
+
+        s = Searcher(spark, idx, n_buckets=N_BUCKETS, persist=True)
+        qs = {
+            "wand_single": lambda: s.topk(["data"], k=10),
+            "wand_or": lambda: s.topk(["table", "scan", "merge"], k=100),
+            "wand_glob": lambda: s.glob_topk("dat*", k=10),
+            "phrase_indexed": lambda: s.phrase_docs(["table", "scan"]),
+            "search_composed": lambda: s.search(
+                'dat* -noise "table scan"', k=10
+            ),
+        }
+        for fn in qs.values():  # warm pass
+            fn().collect()
+        out: dict[str, dict] = {}
+        for name, fn in qs.items():
+            samples = []
+            for _ in range(SCALE_QUERY_REPEATS):
+                t0 = time.perf_counter()
+                fn().collect()
+                samples.append(time.perf_counter() - t0)
+            out[name] = {
+                "p50": round(statistics.median(samples), 4),
+                "min": round(min(samples), 4),
+                "max": round(max(samples), 4),
+            }
+        s.close()
+        p50s = [v["p50"] for v in out.values()]
+        result = {
+            "n_docs": SCALING_CORPUS_DOCS,
+            "cpus": cpus,
+            "repeats": SCALE_QUERY_REPEATS,
+            "queries": out,
+            "p50": round(statistics.median(p50s), 4),
+            "p95": round(max(v["max"] for v in out.values()), 4),
+        }
+        if build_info:
+            result["build"] = build_info
+        return result
+    finally:
+        spark.stop()
 
 
 def run_scaling(
@@ -300,8 +406,18 @@ def main() -> None:
         print(json.dumps(run_once(int(args[1]), SF_DIR)))
     elif args[:1] == ["--scaling"]:
         print(json.dumps(run_scaling()))
+    elif args[:1] == ["--2m"]:
+        print(json.dumps(run_2m(CPUS)))
     else:
-        print(json.dumps(run_once(CPUS, SF_DIR)))
+        r = run_once(CPUS, SF_DIR)
+        # 2M-doc index query section (separate session; never lets a
+        # scale-corpus hiccup sink the whole bench line)
+        try:
+            r["queries_2m"] = run_2m(CPUS)
+        except Exception as exc:  # noqa: BLE001 — report, don't die
+            r["queries_2m"] = None
+            r["queries_2m_error"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(json.dumps(r))
 
 
 if __name__ == "__main__":

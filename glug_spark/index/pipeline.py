@@ -38,7 +38,6 @@ Dataflow (the part that must survive 10^12 docs):
 from __future__ import annotations
 
 import os
-import re
 
 import numpy as np
 import pandas as pd

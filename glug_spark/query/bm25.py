@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from glug_spark.index.build import (
-    COLLECTION_STATS_SQL,
     K1,
     B,
     TOKENS_SQL,

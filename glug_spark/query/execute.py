@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from glug_spark.query import bm25
-from glug_spark.query.parser import QueryPlan, parse_query
+from glug_spark.query.parser import parse_query
 from glug_spark.semantics.glob import full_match_regex
 from glug_spark.index.build import token_array
 

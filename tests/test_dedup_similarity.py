@@ -5,7 +5,6 @@ near-duplicates are actually found.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from glug_spark.operators import dedup, similarity

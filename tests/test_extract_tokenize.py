@@ -61,7 +61,6 @@ def test_spark_tokenizer_agrees_with_kernel(spark) -> None:
     """The JVM-side regexp tokenizer and the Python kernel must agree on
     the corpus vocabulary class (same \\p{L}\\p{N}_ token definition)."""
     from glug_spark.index.build import token_array
-    from pyspark.sql import functions as F
 
     samples = [c[0] for c in TOKENIZE_CASES]
     df = spark.createDataFrame([(s,) for s in samples], "text string")

@@ -22,9 +22,7 @@ from __future__ import annotations
 
 import os
 import random
-import shutil
 import subprocess
-import tempfile
 
 import pytest
 
@@ -314,6 +312,39 @@ def test_handcrafted_matches_git(spark, name, entries, tmp_path):
 # every directory, dozens of rules each.
 
 _EXTS = ["o", "ko", "log", "tmp", "bak", "gen", "pyc", "obj", "out", "map"]
+
+
+# --- real-world corpora: vendored public .gitignore templates -----------
+# (tests/gitignore_corpora.py — canonical github/gitignore templates +
+# linux/godot-shaped rule files, per the reference's pinned-repo parity
+# suite, test/parity/repos.py:41-54)
+
+from tests.gitignore_corpora import CORPORA  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "name,entries", CORPORA, ids=[n for n, _ in CORPORA]
+)
+def test_real_corpus_matches_git(spark, name, entries, tmp_path):
+    tmp = str(tmp_path)
+    disk_root = _materialize(entries, tmp)
+
+    want = _git_listing(disk_root)
+    got = _glug_listing(spark, entries, "root")
+    assert got == want, (
+        f"corpus={name} root: only_glug={sorted(got - want)[:10]} "
+        f"only_git={sorted(want - got)[:10]}"
+    )
+    # subdirectory cells: the ancestor-filter walk against real rules
+    rng = random.Random(hash(name) & 0xFFFF)
+    for sub in _subdir_cells(entries, rng, tmp, disk_root):
+        want = _git_listing(os.path.join(tmp, sub))
+        got = _glug_listing(spark, entries, sub)
+        assert got == want, (
+            f"corpus={name} subdir={sub}: "
+            f"only_glug={sorted(got - want)[:10]} "
+            f"only_git={sorted(want - got)[:10]}"
+        )
 
 
 def _wide_rules(rng: random.Random, n: int) -> list[str]:

@@ -12,7 +12,6 @@ import time
 
 import numpy as np
 import pandas as pd
-import pytest
 from hypothesis import given, settings, strategies as st
 
 from glug_spark.operators.pathfilter import decision_sql

@@ -7,8 +7,6 @@ handpicked battery misses."""
 from __future__ import annotations
 
 import random
-import shutil
-import tempfile
 
 import pytest
 
