@@ -104,6 +104,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--min-run", type=int, default=64)
     c.add_argument("--merge-factor", type=int, default=32)
 
+    st = sub.add_parser(
+        "stats", help="index introspection: one JSON line of sizes, "
+                      "segments, vocab, stream state"
+    )
+    st.add_argument("--index", required=True)
+
     cu = sub.add_parser(
         "curate",
         help="training-data cleaning pass: exact dedup + quality floor "
@@ -224,6 +230,10 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.index,
                 min_run=args.min_run, merge_factor=args.merge_factor,
             )))
+        elif args.command == "stats":
+            from glug_spark.operators.introspect import index_stats
+
+            print(json.dumps(index_stats(spark, args.index)))
         elif args.command == "explore":
             import os
 

@@ -270,9 +270,15 @@ def build_index(
     # parallel, no skew (docs partition uniformly regardless of term
     # distribution; head terms appear in EVERY segment, which is exactly
     # the fan-out that a term-keyed shuffle would have to salt for).
-    encoded = docs.select(
-        "doc_id", "text", F.input_file_name().alias("_file")
-    ).mapInPandas(
+    src = docs.select("doc_id", "text", F.input_file_name().alias("_file"))
+    if n_segments:
+        # test/diagnostic knob: force at least this many doc partitions
+        # (small corpora land in one input split = one segment; multi-
+        # segment layouts need the repartition to exist at all). The
+        # production path leaves this None — input splits ARE the
+        # segmentation, no shuffle.
+        src = src.repartition(n_segments)
+    encoded = src.mapInPandas(
         _make_partition_encoder(n_buckets, done_lineages, attempt),
         schema=ENCODED_SCHEMA,
     )

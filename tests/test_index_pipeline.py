@@ -255,3 +255,22 @@ def test_docs_with_any_matches_full_scan(spark, index_dir):
             for r in wand.docs_with_any(spark, index_dir, terms, n_buckets=8).collect()
         }
         assert got == want, terms
+
+
+def test_index_stats_introspection(spark, index_dir):
+    """`stats` surface: metadata-only introspection agrees with the
+    build summary and the on-disk layout."""
+    from glug_spark.operators.introspect import index_stats
+
+    s = index_stats(spark, index_dir)
+    assert s["n_docs"] == 500
+    assert s["n_buckets"] == 8
+    assert 1 <= s["buckets_used"] <= 8
+    assert s["segments"] >= 4          # n_segments=4 requested
+    assert s["vocab_size"] > 0
+    assert s["n_postings"] > 0
+    assert s["max_doc_id"] is not None
+    assert s["stream_batches"] == 0
+    assert s["pending_attempt_markers"] == 0
+    assert s["bytes_on_disk"] > 0
+    assert s["avgdl"] and s["avgdl"] > 0

@@ -40,8 +40,8 @@ from collections import defaultdict
 
 sys.path.insert(0, "/root/repo")
 
-LINE_FLOOR = 95.0
-BRANCH_FLOOR = 90.0
+LINE_FLOOR = 98.0
+BRANCH_FLOOR = 95.0
 
 #: Spark-free test modules (importing the spark fixture boots a JVM and
 #: makes settrace tracing intolerably slow)
