@@ -331,6 +331,18 @@ def run_2m(cpus: int) -> dict:
                 "min": round(min(samples), 4),
                 "max": round(max(samples), 4),
             }
+        # batched service shape at scale: 32 queries in ONE job
+        vocab = ["data", "join", "scan", "table", "merge", "index",
+                 "sort", "row", "key", "hash", "the", "a", "fast",
+                 "order", "window", "spark"]
+        batch = {
+            f"q{i}": [vocab[i % len(vocab)], vocab[(i * 7 + 3) % len(vocab)]]
+            for i in range(32)
+        }
+        s.topk_many({"warm": ["data"]}, k=10).collect()
+        t0 = time.perf_counter()
+        s.topk_many(batch, k=10).collect()
+        batch_sec = time.perf_counter() - t0
         s.close()
         p50s = [v["p50"] for v in out.values()]
         result = {
@@ -340,6 +352,8 @@ def run_2m(cpus: int) -> dict:
             "queries": out,
             "p50": round(statistics.median(p50s), 4),
             "p95": round(max(v["max"] for v in out.values()), 4),
+            "batch32_sec": round(batch_sec, 4),
+            "batch_query_ms_per_q": round(batch_sec / 32 * 1000, 2),
         }
         if build_info:
             result["build"] = build_info

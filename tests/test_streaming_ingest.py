@@ -410,3 +410,52 @@ def test_query_before_and_after_ingest_no_stale_cache(spark, tmp_path):
     got = [tuple(r) for r in
            wand.wand_topk(spark, index, ["data"], k=10, n_buckets=8).collect()]
     assert got == want
+
+
+def test_doc_ranges_property():
+    """Property: DocRanges accepts exactly the intervals disjoint from
+    the build bound and every committed range — in any order."""
+    from hypothesis import given, settings, strategies as st
+
+    from glug_spark.streaming.ingest import DocRanges
+
+    ivals = st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 500)).map(
+            lambda t: (min(t), max(t))
+        ),
+        max_size=6,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(build_hi=st.integers(-1, 200), committed=ivals,
+           lo=st.integers(0, 600), span=st.integers(0, 50))
+    def check(build_hi, committed, lo, span):
+        hi = lo + span
+        dr = DocRanges(build_hi, build_hi, list(committed), legacy=False)
+        clash = lo <= build_hi or any(
+            lo <= rh and hi >= rl for rl, rh in committed
+        )
+        if clash:
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="overlaps"):
+                dr.validate(lo, hi, batch_id=7)
+        else:
+            dr.validate(lo, hi, batch_id=7)  # must not raise
+            dr.add(lo, hi)
+            # and the accepted interval immediately becomes a clash
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError):
+                dr.validate(lo, hi, batch_id=8)
+
+    check()
+
+
+def test_doc_ranges_legacy_fallback():
+    from glug_spark.streaming.ingest import DocRanges
+
+    dr = DocRanges(10, 99, [], legacy=True)
+    with pytest.raises(ValueError, match="watermark"):
+        dr.validate(50, 60, batch_id=1)   # ≤ global_hi → strict refusal
+    dr.validate(100, 110, batch_id=1)     # above global watermark: ok
