@@ -500,3 +500,21 @@ def test_fs_walk_matches_git_wide_profile(spark, tmp_path):
     want = _git_listing(disk_root)
     got = _fs_listing(spark, disk_root)
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name", ["python_template", "linux_shaped", "unity_template"]
+)
+def test_fs_walk_matches_git_real_corpus(spark, name, tmp_path):
+    """The REAL-filesystem walk path (CLI `explore`) against the
+    vendored real-world rule corpora — same rule sets, different entry
+    source (disk walk instead of the entries table)."""
+    entries = dict(CORPORA)[name]
+    tmp = str(tmp_path)
+    disk_root = _materialize(entries, tmp)
+    want = _git_listing(disk_root)
+    got = _fs_listing(spark, disk_root)
+    assert got == want, (
+        f"corpus={name}: only_glug={sorted(got - want)[:10]} "
+        f"only_git={sorted(want - got)[:10]}"
+    )
