@@ -320,12 +320,14 @@ def run_2m(cpus: int) -> dict:
         for fn in qs.values():  # warm pass
             fn().collect()
         out: dict[str, dict] = {}
+        pooled: list[float] = []
         for name, fn in qs.items():
             samples = []
             for _ in range(SCALE_QUERY_REPEATS):
                 t0 = time.perf_counter()
                 fn().collect()
                 samples.append(time.perf_counter() - t0)
+            pooled += samples
             out[name] = {
                 "p50": round(statistics.median(samples), 4),
                 "min": round(min(samples), 4),
@@ -345,13 +347,19 @@ def run_2m(cpus: int) -> dict:
         batch_sec = time.perf_counter() - t0
         s.close()
         p50s = [v["p50"] for v in out.values()]
+        pooled.sort()
+        # real 95th percentile over the pooled samples (nearest-rank);
+        # `max(max)` would record p100 — one steal-hit outlier, the
+        # exact noise the per-query medians exist to suppress
+        p95 = pooled[min(len(pooled) - 1, int(0.95 * (len(pooled) - 1)))]
         result = {
             "n_docs": SCALING_CORPUS_DOCS,
             "cpus": cpus,
             "repeats": SCALE_QUERY_REPEATS,
             "queries": out,
             "p50": round(statistics.median(p50s), 4),
-            "p95": round(max(v["max"] for v in out.values()), 4),
+            "p95": round(p95, 4),
+            "max": round(pooled[-1], 4),
             "batch32_sec": round(batch_sec, 4),
             "batch_query_ms_per_q": round(batch_sec / 32 * 1000, 2),
         }

@@ -54,21 +54,22 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
             .agg(F.countDistinct("grp")).collect()[0][0]
         )
 
-    stream_batches = orphaned = 0
+    stream_batches = stream_docs = orphaned = 0
     smp = os.path.join(index_dir, "stream_manifest")
     if os.path.exists(smp):
-        stream_batches = spark.read.parquet(smp).count()
+        # one manifest scan for both aggregates (the docstring's 10^6-
+        # batch posture: never read the same table twice per stats call)
+        srow = spark.read.parquet(smp).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_docs").alias("d")
+        ).collect()[0]
+        stream_batches = int(srow["n"])
+        stream_docs = int(srow["d"] or 0)
     markers = os.path.join(index_dir, "stream_attempts")
     if os.path.exists(markers):
         orphaned = len(os.listdir(markers))
 
     return {
-        "n_docs": int(params["n_docs"]) + (
-            int(
-                spark.read.parquet(smp).agg(F.sum("n_docs")).collect()[0][0]
-                or 0
-            ) if stream_batches else 0
-        ),
+        "n_docs": int(params["n_docs"]) + stream_docs,
         "n_buckets": int(params["n_buckets"]),
         "buckets_used": int(agg["buckets_used"]),
         "vocab_size": int(agg["vocab"]),

@@ -127,17 +127,6 @@ def _read_state(spark: SparkSession, index_dir: str):
     return folded, total
 
 
-def _indexed_doc_watermark(spark: SparkSession, index_dir: str) -> int:
-    """Max indexed doc_id, from block METADATA (block_last holds each
-    block's last doc_id) — no posting blob is ever decoded."""
-    row = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
-        .agg(F.max(F.element_at("block_last", -1)).alias("m"))
-        .collect()[0]
-    )
-    return int(row["m"]) if row["m"] is not None else -1
-
-
 class DocRanges:
     """The unique-doc_id validator: the set of doc_id intervals already
     occupied by the index (build + committed stream batches).
@@ -413,6 +402,13 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     if done is None:
         done = _done_batches(spark, index_dir)
     if int(batch_id) in done:
+        # a crash between the manifest append and the marker removal
+        # leaves a committed batch with a stale marker — clean it here
+        # so `stats` never reports phantom pending crash debris
+        try:
+            os.remove(_attempt_marker(index_dir, batch_id))
+        except OSError:
+            pass
         return 0
     agg = batch_df.agg(
         F.count(F.lit(1)).alias("n"),
