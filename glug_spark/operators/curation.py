@@ -37,16 +37,13 @@ def curate(
     keep = dedup.exact_groups(docs).select(
         F.col("keep_doc_id").alias("doc_id")
     )
-    q = textstats.quality_score(docs).select("doc_id", "quality")
-    lid = textstats.lang_id(docs).select(
-        "doc_id", F.col("pred_lang")
-    )
-    out = (
+    # quality + language are pure column expressions — computed INLINE
+    # on the kept docs (the docstring's promised plan shape; the old
+    # form joined two corpus-sized per-doc projections back on doc_id,
+    # i.e. two needless corpus shuffles for derivable columns)
+    out = textstats.text_quality(
         docs.join(keep, "doc_id", "left_semi")
-        .join(q, "doc_id")
-        .join(lid, "doc_id")
-        .where(F.col("quality") >= F.lit(min_quality))
-    )
+    ).where(F.col("quality") >= F.lit(min_quality))
     if langs:
         out = out.where(F.col("pred_lang").isin(langs))
     return out.select(
