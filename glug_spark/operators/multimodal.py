@@ -14,6 +14,7 @@ wrapper bytes), so metadata extraction is oracle-comparable.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -241,35 +242,60 @@ def frame_digests(media: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
-def media_pipeline(media: DataFrame) -> DataFrame:
-    """(doc_id, stage, idx, digest, metric) — the three mapInPandas media
-    stages (feature extract / frame sample / resize) unioned under one
-    hashable shape: the merged driver-scoreboard row (the driver records
-    at most 50 rows; each stage keeps its dedicated function + SQL twin
-    for direct use). ``digest`` is '' (not NULL) on feature rows so the
+def media_pipeline(media: DataFrame, n_frames: int = 4,
+                   n_samples: int = RESIZE_SAMPLES) -> DataFrame:
+    """(doc_id, stage, idx, digest, metric) — the three media stages
+    (feature extract / frame sample / resize) FUSED into one
+    ``mapInPandas`` pass: each payload is read once and yields all
+    three stages' rows, instead of a 3-way union that scans the corpus
+    three times (the 100 TB concern; the per-stage functions remain for
+    individual use and their outputs are asserted identical by the
+    oracle row). ``digest`` is '' (not NULL) on feature rows so the
     cross-engine value hash never depends on NULL ordering."""
-    feats = feature_rows(media).select(
-        "doc_id",
-        F.lit("feature").alias("stage"),
-        F.col("dim").alias("idx"),
-        F.lit("").alias("digest"),
-        F.col("value").alias("metric"),
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("metric", T.DoubleType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                doc_id = int(doc_id)
+                raw = bytes(payload)
+                feats = _fake_features(raw)
+                rows += [
+                    # HALF_UP at 6 dp (Spark's F.round / DuckDB round);
+                    # Python's round() is half-to-even and diverges on
+                    # the exact .5 ties byte/256.0 produces
+                    {"doc_id": doc_id, "stage": "feature", "idx": j,
+                     "digest": "",
+                     "metric": math.floor(float(v) * 1e6 + 0.5) / 1e6}
+                    for j, v in enumerate(feats.astype(np.float64))
+                ]
+                stride = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    fr = raw[i * stride : i * stride + stride]
+                    rows.append({
+                        "doc_id": doc_id, "stage": "frame", "idx": i,
+                        "digest": hashlib.md5(fr).hexdigest(),
+                        "metric": float(len(fr)),
+                    })
+                rs = max(1, len(raw) // n_samples)
+                rez = raw[::rs][:n_samples]
+                rows.append({
+                    "doc_id": doc_id, "stage": "resize", "idx": 0,
+                    "digest": hashlib.md5(rez).hexdigest(),
+                    "metric": float(len(rez)),
+                })
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema=schema
     )
-    frames = frame_digests(media).select(
-        "doc_id",
-        F.lit("frame").alias("stage"),
-        F.col("frame_idx").alias("idx"),
-        F.col("frame_md5").alias("digest"),
-        F.col("frame_len").cast("double").alias("metric"),
-    )
-    rez = resize_digests(media).select(
-        "doc_id",
-        F.lit("resize").alias("stage"),
-        F.lit(0).cast("int").alias("idx"),
-        F.col("resized_md5").alias("digest"),
-        F.col("resized_len").cast("double").alias("metric"),
-    )
-    return feats.unionByName(frames).unionByName(rez)
 
 
 def media_pipeline_sql() -> str:

@@ -128,6 +128,29 @@ def test_hybrid_rerank_broadcasts_candidates(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_curation_single_join(spark):
+    """curate() = ONE dedup semi-join + inline column expressions; the
+    old shape joined two corpus-sized per-doc projections back on
+    doc_id (two needless shuffles of derivable columns)."""
+    from glug_spark.operators.curation import curate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _formatted(curate(docs, min_quality=0.75, langs=["en"]))
+    assert len(re.findall(r"\n\(\d+\) \w*Join\w*", plan)) == 1, plan
+
+
+def test_media_pipeline_single_pass(spark):
+    """media_pipeline reads each payload ONCE (fused mapInPandas), not
+    a 3-way union of per-stage scans."""
+    from glug_spark.operators.multimodal import media_pipeline, media_table
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _formatted(media_pipeline(media_table(docs)))
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\n\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "Union" not in plan
+
+
 def test_full_scan_bm25_pushdown(spark):
     from glug_spark.query import bm25
 
