@@ -430,7 +430,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize": _q_tokenize,
         "doc_lengths": _q_doc_lengths,
         "postings_build": _q_postings,
-        "term_stats": _q_term_stats,
+        # plain single-phase vs explicit two-phase salted aggregation in
+        # ONE row tagged by variant (merged: 50-row driver cap) — the
+        # salted path must produce IDENTICAL stats (SURVEY §2.3
+        # df_stats + salt_repartition)
+        "term_stats": lambda s, d: _q_term_stats(s, d)
+        .withColumn("variant", F.lit("plain"))
+        .unionByName(
+            _q_term_stats_salted(s, d).withColumn("variant", F.lit("salted"))
+        ),
         "collection_stats": _q_collection_stats,
         "bm25_single": _q_bm25_single,
         "bm25_and": _q_bm25_and,
@@ -440,7 +448,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_negated": lambda s, d: bm25.bm25_negated_topk(
             _docs(s, d), Q_NEG[0], Q_NEG[1], k=10
         ),
-        "term_stats_salted": _q_term_stats_salted,
         "search_mixed": _q_search_mixed,
         # end-to-end encoded-index path (build → WAND / position lists)
         "index_wand_topk": _q_index_wand,
@@ -465,6 +472,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).curate(_docs(s, d), min_quality=0.75, langs=["en"]),
         "minhash_bands": lambda s, d: dedup.minhash_bands(_docs(s, d)),
         "dup_pairs_minhash": lambda s, d: dedup.dup_pairs_minhash(_docs(s, d)),
+        # transitive closure over the candidate pairs: connected
+        # components by min-label propagation (canonical survivor =
+        # min doc_id per near-dup cluster)
+        "dup_clusters": lambda s, d: dedup.dup_clusters(
+            dedup.dup_pairs_minhash(_docs(s, d))
+        ),
         "jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_docs(s, d)),
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
@@ -563,7 +576,11 @@ def oracle_sql() -> dict[str, str]:
         "tokenize": f"SELECT doc_id, CAST(pos AS INT) AS pos, term FROM ({tok})",
         "doc_lengths": ib.DOC_LENGTHS_SQL,
         "postings_build": ib.POSTINGS_SQL,
-        "term_stats": ib.TERM_STATS_SQL,
+        "term_stats": (
+            f"SELECT 'plain' AS variant, * FROM ({ib.TERM_STATS_SQL})"
+            " UNION ALL "
+            f"SELECT 'salted' AS variant, * FROM ({ib.TERM_STATS_SQL})"
+        ),
         "collection_stats": ib.COLLECTION_STATS_SQL,
         "bm25_single": bm25.bm25_topk_sql(Q_SINGLE, k=10),
         "bm25_and": bm25.bm25_topk_sql(Q_AND, k=10, conjunctive=True),
@@ -571,7 +588,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_glob": bm25.bm25_glob_topk_sql(Q_GLOB, k=10),
         "phrase_match": bm25.phrase_docs_sql(Q_PHRASE),
         "bm25_negated": bm25.bm25_negated_topk_sql(Q_NEG[0], Q_NEG[1], k=10),
-        "term_stats_salted": ib.TERM_STATS_SQL,
         "search_mixed": _search_mixed_oracle(),
         "index_wand_topk": bm25.bm25_topk_sql(Q_OR, k=100),
         "index_phrase": bm25.phrase_docs_sql(Q_PHRASE),
@@ -592,6 +608,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": dedup.minhash_bands_sql()
         + " ORDER BY doc_id, band_id",
         "dup_pairs_minhash": dedup.dup_pairs_minhash_sql(),
+        "dup_clusters": dedup.dup_clusters_sql(),
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "simhash": dedup.simhash_sql(),
         "simhash_pairs": dedup.simhash_pairs_sql(),

@@ -170,6 +170,88 @@ FROM bands a JOIN bands b
 """
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) — transitive near-dup CLUSTERS over candidate
+    pairs: connected components, ``cluster_id`` = min doc_id in the
+    component (the canonical survivor a training pipeline keeps).
+
+    Min-label propagation to fixpoint: each round every node takes the
+    minimum of its own label and its neighbors' labels; converged when
+    no label changes. Rounds needed = graph diameter — near-dup
+    components are shallow (chains of pairwise-similar docs), so this
+    terminates in a few rounds; ``max_iter`` is a runaway bound. Scale
+    shape: the edge table is the CANDIDATE PAIR set (≪ corpus — this
+    never touches documents), each round is one equi-join + min-agg on
+    it, and each round's result is cached + previous round released; a
+    production run at billions of edges would localCheckpoint every few
+    rounds to truncate lineage (the join/agg per round is the same
+    large-star/small-star shape the classic distributed CC algorithms
+    use). Deterministic: min over a set, no ordering dependence.
+
+    Oracle (:func:`dup_clusters_sql`): DuckDB recursive CTE computing
+    min reachable doc_id — the same fixpoint by definition.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .cache()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels, edges["dst"] == labels["doc_id"])
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nb_min"))
+            )
+            old = labels
+            labels = (
+                old.alias("l")
+                .join(nbr, F.col("l.doc_id") == nbr["src"], "left")
+                .select(
+                    F.col("l.doc_id").alias("doc_id"),
+                    F.least(
+                        F.col("l.cluster_id"),
+                        F.coalesce("nb_min", F.col("l.cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                .cache()
+            )
+            changed = (
+                labels.alias("n")
+                .join(old.alias("o"), "doc_id")
+                .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            old.unpersist()
+            if changed == 0:
+                break
+        return labels.orderBy("doc_id")
+    finally:
+        edges.unpersist()
+
+
+def dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({dup_pairs_minhash_sql()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 # --- n-gram Jaccard verify (over LSH candidates) ------------------------
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:

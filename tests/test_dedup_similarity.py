@@ -208,3 +208,30 @@ def test_curate_docs_matches_audit_projection(spark):
     full = curate_docs(docs, 0.5, ["en"])
     assert {r["doc_id"] for r in full.select("doc_id").collect()} == audit
     assert full.columns == docs.columns
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """Chains must collapse transitively: a-b, b-c, c-d → one cluster
+    labeled by the min doc_id, even though a and d share no pair."""
+    from glug_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain → cluster 1
+         (10, 11),                    # isolated pair → cluster 10
+         (20, 22), (21, 22)],         # star → cluster 20
+        "doc_a long, doc_b long",
+    )
+    got = {(r["doc_id"], r["cluster_id"])
+           for r in dup_clusters(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_dup_clusters_empty(spark):
+    from glug_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dup_clusters(pairs).count() == 0
