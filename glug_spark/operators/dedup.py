@@ -252,6 +252,21 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def dedup_apply_fuzzy(docs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Fuzzy dedup APPLIED: drop every non-canonical member of each
+    near-dup cluster (MinHash-LSH candidates → transitive closure →
+    keep min doc_id per cluster; docs in no cluster survive untouched).
+
+    Scale shape: clustering runs on the candidate-pair table only; the
+    single corpus-sized operation is the final left_anti join of docs
+    against the (tiny) drop set."""
+    clusters = dup_clusters(dup_pairs_minhash(docs), max_iter=max_iter)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 # --- n-gram Jaccard verify (over LSH candidates) ------------------------
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:

@@ -235,3 +235,31 @@ def test_dup_clusters_empty(spark):
 
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dup_clusters(pairs).count() == 0
+
+
+def test_dedup_apply_fuzzy_differential(spark):
+    """dedup_apply_fuzzy must keep exactly: non-clustered docs plus the
+    min-doc_id canonical of every near-dup cluster — checked against a
+    DuckDB recursive-CTE closure over the same candidate pairs."""
+    import duckdb
+
+    from glug_spark.operators.dedup import dedup_apply_fuzzy, dup_clusters_sql
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kept = {r["doc_id"] for r in dedup_apply_fuzzy(docs).select("doc_id").collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    drop = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM ({dup_clusters_sql()}) "
+            "WHERE doc_id <> cluster_id"
+        ).fetchall()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - drop
+    assert len(kept) < len(all_ids)  # the corpus does contain near-dups
