@@ -120,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--min-quality", type=float, default=0.3)
     cu.add_argument("--langs", default=None,
                     help="comma-separated allowlist, e.g. en,de")
+    cu.add_argument(
+        "--fuzzy", action="store_true",
+        help="also drop NEAR-duplicates (MinHash-LSH candidates -> "
+             "transitive clusters -> keep the min-doc_id canonical)",
+    )
 
     ing = sub.add_parser(
         "ingest", help="stream newly-arrived documents into the index"
@@ -173,7 +178,7 @@ def main(argv: list[str] | None = None) -> int:
             docs = spark.read.parquet(f"{args.input}/documents.parquet")
             langs = args.langs.split(",") if args.langs else None
             out = curate_docs(docs, min_quality=args.min_quality,
-                              langs=langs)
+                              langs=langs, fuzzy=args.fuzzy)
             out.write.mode("overwrite").parquet(
                 f"{args.output}/documents.parquet"
             )
@@ -183,6 +188,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "n_in": docs.count(), "n_out": n_out,
                 "min_quality": args.min_quality, "langs": langs,
+                "fuzzy": args.fuzzy,
             }))
         elif args.command == "query-many":
             from glug_spark.query.searcher import Searcher

@@ -30,20 +30,30 @@ def curate(
     docs: DataFrame,
     min_quality: float = 0.3,
     langs: list[str] | None = None,
+    fuzzy: bool = False,
 ) -> DataFrame:
     """Cleaned corpus: deduplicated + quality-floored (+ language-
     filtered when ``langs`` given). Returns the surviving documents'
-    (doc_id, text) plus the curation columns for audit."""
+    (doc_id, text) plus the curation columns for audit.
+
+    ``fuzzy=True`` additionally drops NEAR-duplicates: MinHash-LSH
+    candidates → transitive clusters → only the min-doc_id canonical
+    of each cluster survives (``dedup.dedup_apply_fuzzy``). Exact dedup
+    still runs first (byte-identical copies never reach the shingle
+    stage)."""
     keep = dedup.exact_groups(docs).select(
         F.col("keep_doc_id").alias("doc_id")
     )
+    kept_docs = docs.join(keep, "doc_id", "left_semi")
+    if fuzzy:
+        kept_docs = dedup.dedup_apply_fuzzy(kept_docs)
     # quality + language are pure column expressions — computed INLINE
     # on the kept docs (the docstring's promised plan shape; the old
     # form joined two corpus-sized per-doc projections back on doc_id,
     # i.e. two needless corpus shuffles for derivable columns)
-    out = textstats.text_quality(
-        docs.join(keep, "doc_id", "left_semi")
-    ).where(F.col("quality") >= F.lit(min_quality))
+    out = textstats.text_quality(kept_docs).where(
+        F.col("quality") >= F.lit(min_quality)
+    )
     if langs:
         out = out.where(F.col("pred_lang").isin(langs))
     return out.select(
@@ -76,9 +86,40 @@ def curate_docs(
     docs: DataFrame,
     min_quality: float = 0.3,
     langs: list[str] | None = None,
+    fuzzy: bool = False,
 ) -> DataFrame:
     """The surviving documents with their ORIGINAL columns — what
     ``build_index`` consumes directly (curate → index is the pipeline;
     :func:`curate` is the audit projection the oracle checks)."""
-    kept = curate(docs, min_quality, langs).select("doc_id")
+    kept = curate(docs, min_quality, langs, fuzzy=fuzzy).select("doc_id")
     return docs.join(kept, "doc_id", "left_semi")
+
+
+def curate_fuzzy_sql(
+    min_quality: float = 0.3, langs: list[str] | None = None
+) -> str:
+    """Differential twin for ``curate(..., fuzzy=True)``: the exact-
+    dedup keeper set minus non-canonical near-dup cluster members
+    (recursive-CTE closure), then the same quality/lang predicates."""
+    lang_clause = ""
+    if langs:
+        quoted = ", ".join(f"'{lang}'" for lang in langs)
+        lang_clause = f"AND l.pred_lang IN ({quoted})"
+    return f"""
+WITH keep AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+clusters AS ({dedup.dup_clusters_sql()}),
+fuzzy_drop AS (
+    SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+),
+q AS ({textstats.quality_score_sql()}),
+l AS ({textstats.lang_id_sql()})
+SELECT d.doc_id, round(q.quality, 6) AS quality, l.pred_lang
+FROM documents d
+JOIN keep USING (doc_id)
+JOIN q ON q.doc_id = d.doc_id
+JOIN l ON l.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM fuzzy_drop)
+  AND q.quality >= {min_quality} {lang_clause}
+"""

@@ -263,3 +263,37 @@ def test_dedup_apply_fuzzy_differential(spark):
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert kept == all_ids - drop
     assert len(kept) < len(all_ids)  # the corpus does contain near-dups
+
+
+def test_curate_fuzzy_differential(spark):
+    """curate(fuzzy=True) vs the DuckDB twin (exact keepers minus
+    recursive-CTE near-dup non-canonicals + quality/lang floor). The
+    twin clusters over ALL docs while Spark clusters after exact dedup
+    — equivalent by construction (byte-identical copies carry identical
+    band signatures, so they add no connectivity and never hold the
+    cluster minimum); this test pins that equivalence on real data."""
+    import duckdb
+
+    from glug_spark.operators.curation import curate, curate_fuzzy_sql
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        (r["doc_id"], r["quality"], r["pred_lang"])
+        for r in curate(docs, min_quality=0.5, langs=["en"], fuzzy=True).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            curate_fuzzy_sql(min_quality=0.5, langs=["en"])
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) > 0
+    # and fuzzy is strictly stronger than exact-only curation here
+    exact_only = curate(docs, min_quality=0.5, langs=["en"]).count()
+    assert len(got) < exact_only
