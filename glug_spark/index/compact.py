@@ -126,6 +126,8 @@ def compact_index(
         ATTEMPT_SPAN as _SPAN,
         STREAM_ATTEMPT_BASE as _SBASE,
         _done_batches,
+        _read_state,
+        refresh_stats,
     )
 
     src = os.path.join(index_dir, "postings")
@@ -157,6 +159,18 @@ def compact_index(
                 "the pending ingest first (recovery adopts the "
                 "namespace), or delete its segments."
             )
+        # A batch can also be COMMITTED (manifest row on disk) but not
+        # yet FOLDED into term_stats — exactly the state a crash between
+        # manifest commit and the drain-end refresh leaves. Compaction
+        # may rewrite that batch's rows under a merged build-range
+        # segment id, after which refresh_stats' delta scan (pushed down
+        # on the batch namespace) finds nothing and df/cf totals are
+        # silently under-counted forever. Fold first — refresh_stats is
+        # idempotent and incremental, so this costs one delta scan.
+        state = _read_state(spark, index_dir)
+        folded = state[0] if state is not None else set()
+        if committed - folded:
+            refresh_stats(spark, index_dir)
 
     # --- 1. coarsen the segmentation (compose with any existing map).
     # The segment universe is the UNION of the previous map's keys and

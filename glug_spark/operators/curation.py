@@ -33,8 +33,10 @@ def curate(
     fuzzy: bool = False,
 ) -> DataFrame:
     """Cleaned corpus: deduplicated + quality-floored (+ language-
-    filtered when ``langs`` given). Returns the surviving documents'
-    (doc_id, text) plus the curation columns for audit.
+    filtered when ``langs`` given). Returns the AUDIT projection of the
+    survivors — ``(doc_id, quality, pred_lang)``; use
+    :func:`curate_docs` when the original document columns (text etc.)
+    are needed downstream.
 
     ``fuzzy=True`` additionally drops NEAR-duplicates: MinHash-LSH
     candidates → transitive clusters → only the min-doc_id canonical

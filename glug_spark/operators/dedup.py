@@ -170,23 +170,36 @@ FROM bands a JOIN bands b
 """
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iter: int = 20,
+                 checkpoint_every: int = 4) -> DataFrame:
     """(doc_id, cluster_id) — transitive near-dup CLUSTERS over candidate
     pairs: connected components, ``cluster_id`` = min doc_id in the
     component (the canonical survivor a training pipeline keeps).
 
-    Min-label propagation to fixpoint: each round every node takes the
-    minimum of its own label and its neighbors' labels; converged when
-    no label changes. Rounds needed = graph diameter — near-dup
-    components are shallow (chains of pairwise-similar docs), so this
-    terminates in a few rounds; ``max_iter`` is a runaway bound. Scale
-    shape: the edge table is the CANDIDATE PAIR set (≪ corpus — this
-    never touches documents), each round is one equi-join + min-agg on
-    it, and each round's result is cached + previous round released; a
-    production run at billions of edges would localCheckpoint every few
-    rounds to truncate lineage (the join/agg per round is the same
-    large-star/small-star shape the classic distributed CC algorithms
-    use). Deterministic: min over a set, no ordering dependence.
+    Min-label propagation WITH POINTER JUMPING, run to fixpoint: each
+    round every node takes the minimum of (its own label, its
+    neighbors' labels, its label's label). The neighbor-min step alone
+    needs O(diameter) rounds — a long chain of gradually drifting
+    templated docs defeats any fixed bound — but the label-of-label
+    shortcut halves remaining path lengths each round, so convergence
+    is O(log diameter): ``max_iter=20`` covers diameters beyond 10^6.
+    Both steps preserve the invariants ``label(v) ≤ v`` and "label(v)
+    is a node in v's component", and the combined fixpoint (stable
+    under neighbor-min across every edge, both directions) forces one
+    label per component = its min doc_id. If the loop still exhausts
+    ``max_iter`` without a fixpoint it RAISES rather than silently
+    returning partial labels (spurious canonicals would survive
+    dedup downstream).
+
+    Scale shape: the edge table is the CANDIDATE PAIR set (≪ corpus —
+    this never touches documents); each round is two equi-joins + a
+    min-agg on label-sized tables, and every ``checkpoint_every``
+    rounds the labels are ``localCheckpoint``-ed to truncate the
+    otherwise exponentially deepening lineage (the classic
+    large-star/small-star CC formulation from Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14, has the
+    same join shape and round bound). Deterministic: min over a set,
+    no ordering dependence.
 
     Oracle (:func:`dup_clusters_sql`): DuckDB recursive CTE computing
     min reachable doc_id — the same fixpoint by definition.
@@ -200,15 +213,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .cache()
     )
+    changed = -1  # sentinel for max_iter=0 misuse
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             nbr = (
                 edges.join(labels, edges["dst"] == labels["doc_id"])
                 .groupBy("src")
                 .agg(F.min("cluster_id").alias("nb_min"))
             )
             old = labels
-            labels = (
+            stepped = (
                 old.alias("l")
                 .join(nbr, F.col("l.doc_id") == nbr["src"], "left")
                 .select(
@@ -218,8 +232,31 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                         F.coalesce("nb_min", F.col("l.cluster_id")),
                     ).alias("cluster_id"),
                 )
-                .cache()
             )
+            # pointer jump: cluster_id → label(cluster_id). label values
+            # are node ids (min-so-far of a component member), so the
+            # self-join always finds the parent row.
+            labels = (
+                stepped.alias("s")
+                .join(
+                    old.alias("p"),
+                    F.col("s.cluster_id") == F.col("p.doc_id"),
+                    "left",
+                )
+                .select(
+                    F.col("s.doc_id").alias("doc_id"),
+                    F.least(
+                        F.col("s.cluster_id"),
+                        F.coalesce(
+                            F.col("p.cluster_id"), F.col("s.cluster_id")
+                        ),
+                    ).alias("cluster_id"),
+                )
+            )
+            if (it + 1) % checkpoint_every == 0:
+                labels = labels.localCheckpoint(eager=True)
+            else:
+                labels = labels.cache()
             changed = (
                 labels.alias("n")
                 .join(old.alias("o"), "doc_id")
@@ -228,8 +265,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             old.unpersist()
             if changed == 0:
-                break
-        return labels.orderBy("doc_id")
+                return labels.orderBy("doc_id")
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge in "
+            f"{max_iter} rounds ({changed} labels still changing) — "
+            "returning partial labels would let spurious 'canonical' "
+            "docs survive fuzzy dedup. With pointer jumping this bounds "
+            "component diameter at ~2^max_iter; raise max_iter."
+        )
     finally:
         edges.unpersist()
 

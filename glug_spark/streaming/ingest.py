@@ -428,10 +428,23 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
             ranges.validate(int(agg["lo"]), int(agg["hi"]), int(batch_id))
         attempt = STREAM_ATTEMPT_BASE + int(batch_id)
         assert attempt * ATTEMPT_SPAN < 2**62
-        # the marker is durable BEFORE the append: any later crash
-        # leaves a witness that forces the replay to probe
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        open(marker, "w").close()
+        # the marker is durable BEFORE the append — fsync the marker fd
+        # AND its directory so an OS/power crash cannot lose the marker
+        # while the appended parquet survives (which would let a replay
+        # skip the probe and double-encode the batch). Any later crash
+        # leaves this witness, forcing the replay to probe.
+        mdir = os.path.dirname(marker)
+        os.makedirs(mdir, exist_ok=True)
+        fd = os.open(marker, os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        dfd = os.open(mdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         encoded = batch_df.select(
             "doc_id", "text", F.input_file_name().alias("_file")
         ).mapInPandas(

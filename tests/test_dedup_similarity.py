@@ -237,6 +237,39 @@ def test_dup_clusters_empty(spark):
     assert dup_clusters(pairs).count() == 0
 
 
+def test_dup_clusters_long_chain_beyond_naive_iter_bound(spark):
+    """Adversarial path graph with diameter 60 > the old max_iter=20:
+    plain neighbor-min propagation needs 60 rounds (and used to return
+    silently WRONG partial labels); pointer jumping must converge well
+    inside max_iter=20 and label every node with the chain min. Chain
+    ids run HIGH→LOW so the min label must travel the full diameter."""
+    from glug_spark.operators.dedup import dup_clusters
+
+    n = 61  # nodes 100..160 in a path; min = 100 at one end
+    pairs = spark.createDataFrame(
+        [(100 + i, 100 + i + 1) for i in range(n - 1)],
+        "doc_a long, doc_b long",
+    )
+    got = {(r["doc_id"], r["cluster_id"])
+           for r in dup_clusters(pairs, max_iter=20).collect()}
+    assert got == {(100 + i, 100) for i in range(n)}
+
+
+def test_dup_clusters_raises_on_non_convergence(spark):
+    """Exhausting max_iter with labels still moving must RAISE, never
+    return partial labels (spurious canonicals would survive dedup)."""
+    import pytest
+
+    from glug_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(100 + i, 100 + i + 1) for i in range(40)],
+        "doc_a long, doc_b long",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iter=2)
+
+
 def test_dedup_apply_fuzzy_differential(spark):
     """dedup_apply_fuzzy must keep exactly: non-clustered docs plus the
     min-doc_id canonical of every near-dup cluster — checked against a

@@ -305,6 +305,51 @@ def test_compact_refuses_unrecovered_stream_namespace(spark, tmp_path):
         assert got == want, terms
 
 
+def test_compact_folds_committed_but_unfolded_batch(spark, tmp_path):
+    """Crash between the manifest commit and the drain-end stats refresh
+    leaves a batch COMMITTED but UNFOLDED. compact_index may rewrite
+    that batch's rows under a merged build-range segment id — so it must
+    fold the pending delta FIRST (refresh_stats), or df/cf totals are
+    silently under-counted forever. Checks stats == full recompute and
+    rank identity after the compaction."""
+    from glug_spark.index.compact import compact_index
+    from glug_spark.streaming.ingest import ingest_batch
+
+    initial = str(tmp_path / "initial")
+    index = str(tmp_path / "index")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.where(F.col("doc_id") < 300).write.parquet(
+        os.path.join(initial, "documents.parquet")
+    )
+    build_index(spark, initial, index, n_buckets=8)
+    wave = docs.where(F.col("doc_id") >= 300)
+    # manifest row IS written; refresh_stats is NOT run → unfolded
+    assert ingest_batch(spark, wave, 0, index, n_buckets=8) == wave.count()
+
+    compact_index(spark, index, min_run=1000, merge_factor=1000)
+
+    enc = spark.read.parquet(f"{index}/postings")
+    expected_df = {
+        r["term"]: int(r["df"])
+        for r in enc.groupBy("term").agg(F.sum("df_local").alias("df")).collect()
+    }
+    got_df = {
+        r["term"]: int(r["df"])
+        for r in spark.read.parquet(f"{index}/term_stats").collect()
+    }
+    assert got_df == expected_df
+    coll = spark.read.parquet(f"{index}/collection").collect()[0]
+    assert coll["n_docs"] == docs.count()
+    assert coll["total_tokens"] == enc.agg(F.sum("cf_local")).collect()[0][0]
+    for terms, k, conj in QUERIES:
+        want = [tuple(r) for r in
+                bm25.bm25_topk(docs, terms, k=k, conjunctive=conj).collect()]
+        got = [tuple(r) for r in
+               wand.wand_topk(spark, index, terms, k=k, conjunctive=conj,
+                              n_buckets=8).collect()]
+        assert got == want, terms
+
+
 def test_happy_path_skips_namespace_probe(spark, tmp_path, monkeypatch):
     """No attempt marker → no orphan probe: the per-batch postings-
     metadata scan must NOT run on a clean (non-replayed) batch."""
