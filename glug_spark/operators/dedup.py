@@ -24,9 +24,25 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from glug_spark.index.build import token_array
 
-N_HASHES = 8
-N_BANDS = 4  # 2 hashes per band
+#: default MinHash geometry. r = N_HASHES/N_BANDS rows per band sets the
+#: LSH s-curve: P(candidate) = 1-(1-s^r)^b with midpoint ≈ (1/b)^(1/r).
+#: 128 perms / 32 bands × 4 rows (the de-facto production standard,
+#: e.g. datasketch's default) puts the midpoint at (1/32)^(1/4) ≈ 0.42 —
+#: theoretical recall 0.87 for pairs at EXACTLY the 0.5 near-dup
+#: contract and ≈1.0 above 0.6, vs 0.64@0.5 for 64/16 and a shallow
+#: high-waste curve for the old 8/4×2. Measured precision/recall per
+#: geometry vs exhaustive ground truth: BASELINE.md (tools/minhash_tune.py).
+N_HASHES = 128
+N_BANDS = 32
 SHINGLE = 3
+
+
+def _check_geometry(n_hashes: int, n_bands: int) -> int:
+    if n_hashes % n_bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} must be divisible by n_bands={n_bands}"
+        )
+    return n_hashes // n_bands
 
 
 # --- exact dedup --------------------------------------------------------
@@ -71,27 +87,27 @@ WHERE doc_id IN (
 
 # --- MinHash + LSH ------------------------------------------------------
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — token 3-grams via array slicing (JVM-side)."""
+def _shingles(docs: DataFrame, shingle: int = SHINGLE) -> DataFrame:
+    """(doc_id, shingle) — token n-grams via array slicing (JVM-side)."""
     a = token_array()
     shingles = F.when(
-        F.size(a) >= SHINGLE,
+        F.size(a) >= shingle,
         F.transform(
-            F.sequence(F.lit(0), F.size(a) - SHINGLE),
+            F.sequence(F.lit(0), F.size(a) - shingle),
             lambda i: F.concat_ws(
-                " ",
-                F.element_at(a, i + 1),
-                F.element_at(a, i + 2),
-                F.element_at(a, i + 3),
+                " ", *[F.element_at(a, i + j + 1) for j in range(shingle)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return docs.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
-_SHINGLES_SQL = f"""
-SELECT doc_id,
-       term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+def _shingles_sql(shingle: int = SHINGLE) -> str:
+    parts = " || ' ' || ".join(
+        "term" if j == 0 else f"lead(term, {j}) OVER w" for j in range(shingle)
+    )
+    return f"""
+SELECT doc_id, {parts} AS shingle
 FROM (
     SELECT doc_id,
            unnest(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+')) AS term,
@@ -99,51 +115,75 @@ FROM (
     FROM documents
 )
 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-QUALIFY lead(term, 2) OVER w IS NOT NULL
+QUALIFY lead(term, {shingle - 1}) OVER w IS NOT NULL
 """
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, h0..h7) — per-seed min over md5('<seed>|<shingle>')."""
-    sh = _shingles(docs)
+_SHINGLES_SQL = _shingles_sql()
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
+                       shingle: int = SHINGLE) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — per-seed min over md5('<seed>|<shingle>')."""
+    sh = _shingles(docs, shingle=shingle)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(N_HASHES)
+        for i in range(n_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_key) — LSH bucket keys, 4 bands × 2 hashes."""
-    sig = minhash_signatures(docs)
+def minhash_bands(docs: DataFrame, n_hashes: int = N_HASHES,
+                  n_bands: int = N_BANDS,
+                  shingle: int = SHINGLE) -> DataFrame:
+    """(doc_id, band_id, band_key) — LSH bucket keys, ``n_bands`` bands
+    of ``n_hashes/n_bands`` signature rows each."""
+    r = _check_geometry(n_hashes, n_bands)
+    sig = minhash_signatures(docs, n_hashes=n_hashes, shingle=shingle)
     bands = F.array(*[
-        F.md5(F.concat_ws("|", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
-        for b in range(N_BANDS)
+        F.md5(F.concat_ws(
+            "|", *[F.col(f"h{b * r + j}") for j in range(r)]
+        ))
+        for b in range(n_bands)
     ])
     return sig.select(
         "doc_id", F.posexplode(bands).alias("band_id", "band_key")
     )
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(n_hashes: int = N_HASHES,
+                     shingle: int = SHINGLE) -> str:
     mins = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_HASHES)
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(n_hashes)
     )
-    return f"SELECT doc_id, {mins} FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
+    return (
+        f"SELECT doc_id, {mins} FROM ({_shingles_sql(shingle)}) "
+        "GROUP BY doc_id"
+    )
 
 
-def minhash_bands_sql() -> str:
+def minhash_bands_sql(n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
+                      shingle: int = SHINGLE) -> str:
+    r = _check_geometry(n_hashes, n_bands)
     selects = [
-        f"SELECT doc_id, {b} AS band_id, md5(h{2 * b} || '|' || h{2 * b + 1}) AS band_key "
-        f"FROM sig"
-        for b in range(N_BANDS)
+        "SELECT doc_id, {b} AS band_id, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * r + j}" for j in range(r)),
+        )
+        for b in range(n_bands)
     ]
-    return f"WITH sig AS ({_minhash_sig_sql()}) " + " UNION ALL ".join(selects)
+    return (
+        f"WITH sig AS ({_minhash_sig_sql(n_hashes, shingle)}) "
+        + " UNION ALL ".join(selects)
+    )
 
 
-def dup_pairs_minhash(docs: DataFrame) -> DataFrame:
+def dup_pairs_minhash(docs: DataFrame, n_hashes: int = N_HASHES,
+                      n_bands: int = N_BANDS,
+                      shingle: int = SHINGLE) -> DataFrame:
     """(doc_a, doc_b) candidate near-dup pairs sharing any LSH band."""
-    bands = minhash_bands(docs)
+    bands = minhash_bands(docs, n_hashes=n_hashes, n_bands=n_bands,
+                          shingle=shingle)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -160,9 +200,11 @@ def dup_pairs_minhash(docs: DataFrame) -> DataFrame:
     )
 
 
-def dup_pairs_minhash_sql() -> str:
+def dup_pairs_minhash_sql(n_hashes: int = N_HASHES,
+                          n_bands: int = N_BANDS,
+                          shingle: int = SHINGLE) -> str:
     return f"""
-WITH bands AS ({minhash_bands_sql()})
+WITH bands AS ({minhash_bands_sql(n_hashes, n_bands, shingle)})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -312,11 +354,15 @@ def dedup_apply_fuzzy(docs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 # --- n-gram Jaccard verify (over LSH candidates) ------------------------
 
-def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                  cand: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) — exact shingle-set Jaccard for LSH
     candidate pairs (candidate-verify pattern: LSH recalls, Jaccard
-    confirms). Jaccard over DISTINCT 3-gram shingles."""
-    cand = dup_pairs_minhash(docs)
+    confirms). Jaccard over DISTINCT 3-gram shingles. ``cand``
+    overrides the candidate set (e.g. :func:`all_shared_shingle_pairs`
+    for exhaustive ground truth)."""
+    if cand is None:
+        cand = dup_pairs_minhash(docs)
     sets_ = _shingles(docs).distinct()
     sizes = sets_.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
@@ -371,6 +417,30 @@ JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
 WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= {threshold}
 """
+
+
+def all_shared_shingle_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) — EVERY pair sharing at least one shingle. Jaccard
+    > 0 requires a shared shingle, so feeding this to
+    :func:`jaccard_pairs` yields the COMPLETE set of pairs above any
+    positive threshold: the exhaustive ground truth
+    ``tools/minhash_tune.py`` scores LSH candidate recall against.
+    Quadratic in per-shingle doc frequency — a measurement tool, not a
+    production path (that is the whole point of LSH)."""
+    sets_ = _shingles(docs).distinct()
+    a = sets_.alias("a")
+    b = sets_.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
 
 
 # --- SimHash (Pandas UDF, batch-vectorized; md5-keyed → oracle-SQL) -----
