@@ -155,13 +155,15 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _q_index_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end index path: encoded posting lists → MaxScore top-k.
-    Oracle = the same SQL as bm25_or (rank-identity is the contract)."""
-    from glug_spark.query import wand
+    """End-to-end index path: encoded posting lists → MaxScore top-k,
+    with the result-URL join-back (docmap side table, broadcast k-row
+    lookup — merged row: rank identity AND url correctness). Oracle =
+    the same SQL as bm25_or joined to documents.source."""
+    from glug_spark.query.searcher import Searcher
 
-    return wand.wand_topk(
-        spark, _index_dir(spark, sf_dir), Q_OR, k=100, n_buckets=8
-    )
+    with Searcher(spark, _index_dir(spark, sf_dir), n_buckets=8,
+                  persist=False) as s:
+        return s.topk(Q_OR, k=100, with_urls=True)
 
 
 def _q_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,7 +591,11 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": bm25.phrase_docs_sql(Q_PHRASE),
         "bm25_negated": bm25.bm25_negated_topk_sql(Q_NEG[0], Q_NEG[1], k=10),
         "search_mixed": _search_mixed_oracle(),
-        "index_wand_topk": bm25.bm25_topk_sql(Q_OR, k=100),
+        "index_wand_topk": (
+            f"SELECT o.*, d.source AS url "
+            f"FROM ({bm25.bm25_topk_sql(Q_OR, k=100)}) o "
+            f"JOIN documents d USING (doc_id)"
+        ),
         "index_phrase": bm25.phrase_docs_sql(Q_PHRASE),
         "index_glob": bm25.bm25_glob_topk_sql(Q_GLOB, k=10),
         "search_mixed_indexed": _search_mixed_oracle(),

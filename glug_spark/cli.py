@@ -75,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--buckets", type=int, default=16)
+    q.add_argument(
+        "--urls", action="store_true",
+        help="append each hit's url from the index docmap "
+             "(pruned k-row lookup, no corpus scan)",
+    )
 
     qm = sub.add_parser(
         "query-many",
@@ -164,14 +169,27 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(summary))
         elif args.command == "query":
-            from glug_spark.query.execute import search_indexed
+            if args.urls:
+                from glug_spark.query.searcher import Searcher
 
-            rows = search_indexed(
-                spark, args.index, args.query, k=args.k,
-                n_buckets=args.buckets,
-            ).collect()
-            for r in rows:
-                print(f"{r['rank']}\t{r['doc_id']}\t{r['score']}")
+                with Searcher(spark, args.index, n_buckets=args.buckets,
+                              persist=False) as s:
+                    rows = (
+                        s.search(args.query, k=args.k, with_urls=True)
+                        .orderBy("rank").collect()
+                    )
+                for r in rows:
+                    print(f"{r['rank']}\t{r['doc_id']}\t{r['score']}"
+                          f"\t{r['url']}")
+            else:
+                from glug_spark.query.execute import search_indexed
+
+                rows = search_indexed(
+                    spark, args.index, args.query, k=args.k,
+                    n_buckets=args.buckets,
+                ).collect()
+                for r in rows:
+                    print(f"{r['rank']}\t{r['doc_id']}\t{r['score']}")
         elif args.command == "curate":
             from glug_spark.operators.curation import curate_docs
 

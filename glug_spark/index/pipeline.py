@@ -74,6 +74,68 @@ ENCODED_SCHEMA = T.StructType([
 #: a previous attempt whose split planning differed
 ATTEMPT_SPAN = 10_000_000_000
 
+#: docmap/ layout: (doc_id, url) partitioned by doc_bucket =
+#: doc_id % N_DOC_BUCKETS, one sub-tree per source batch (sb=-1 is the
+#: batch build; stream ingest writes sb=<batch_id>, idempotently
+#: overwritable per batch). A k-row result joined on
+#: (doc_bucket, doc_id) prunes to ≤k partition directories — result
+#: URL join-back never scans the corpus-sized map. The modulus is
+#: recorded in params/ (n_doc_buckets) so readers of an index built
+#: with a different constant still bucket correctly.
+DOCMAP_DIR = "docmap"
+N_DOC_BUCKETS = 64
+
+
+def doc_bucket_col(n_doc_buckets: int = N_DOC_BUCKETS) -> F.Column:
+    return F.pmod(F.col("doc_id"), F.lit(n_doc_buckets)).cast("int").alias(
+        "doc_bucket"
+    )
+
+
+def write_docmap(docs, out_dir: str, sb: int,
+                 n_doc_buckets: int = N_DOC_BUCKETS) -> None:
+    """(doc_id, url) for one source batch → docmap/sb=<sb>/doc_bucket=*.
+
+    ``url`` is the corpus's ``source`` column (the synthetic stand-in
+    for a crawl URL); absent → NULL. mode=overwrite per sb sub-tree
+    makes stream-batch replays idempotent (no duplicate map rows)."""
+    import shutil as _shutil
+
+    url = (
+        F.col("source").cast("string") if "source" in docs.columns
+        else F.lit(None).cast("string")
+    )
+    path = os.path.join(out_dir, DOCMAP_DIR, f"sb={int(sb)}")
+    if os.path.exists(path):
+        _shutil.rmtree(path)
+    (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    url.alias("url"))
+        .withColumn("doc_bucket", doc_bucket_col(n_doc_buckets))
+        .write.mode("overwrite")
+        .partitionBy("doc_bucket")
+        .parquet(path)
+    )
+
+
+def read_docmap(spark: SparkSession, index_dir: str):
+    """The (doc_id, url, doc_bucket, sb) map, or None if absent
+    (pre-docmap index)."""
+    path = os.path.join(index_dir, DOCMAP_DIR)
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def docmap_n_buckets(spark: SparkSession, index_dir: str) -> int:
+    """The doc_bucket modulus this index's docmap was written with."""
+    p = spark.read.parquet(os.path.join(index_dir, "params")).collect()[0]
+    try:
+        n = p["n_doc_buckets"]
+    except Exception:
+        n = None
+    return int(n) if n is not None else N_DOC_BUCKETS
+
 
 def batch_lineage(files: list[str], first_doc: int, n_docs: int) -> str:
     """Content identity of one input batch — md5 of (sorted source
@@ -260,8 +322,10 @@ def build_index(
     else:
         n_docs = docs.count()
         spark.createDataFrame(
-            [(int(n_buckets), int(n_docs), os.path.abspath(sf_dir))],
-            "n_buckets int, n_docs long, input_path string",
+            [(int(n_buckets), int(n_docs), os.path.abspath(sf_dir),
+              int(N_DOC_BUCKETS))],
+            "n_buckets int, n_docs long, input_path string, "
+            "n_doc_buckets int",
         ).write.mode("overwrite").parquet(params_path)
 
     # ZERO-shuffle build: mapInPandas over the input splits; each Arrow
@@ -291,6 +355,10 @@ def build_index(
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "postings"))
     )
+
+    # --- docmap: result-URL join-back side table (narrow 2-col scan,
+    # doc_id-bucketed so a k-row lookup prunes to ≤k partitions) -------
+    write_docmap(docs, out_dir, sb=-1)
 
     # --- stats + manifest from the encoded index (no corpus re-scan) ----
     enc_df = spark.read.parquet(os.path.join(out_dir, "postings"))

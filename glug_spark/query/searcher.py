@@ -75,10 +75,42 @@ class Searcher:
             "grp", F.coalesce("grp", F.col("segment"))
         )
 
+    def attach_urls(self, results: DataFrame) -> DataFrame:
+        """Join each result row's ``url`` from the index's docmap side
+        table — a k-row lookup, never a corpus scan: the (tiny) result
+        set is broadcast onto the doc_id-bucketed map and the join key
+        includes the partition column ``doc_bucket``, so the scan
+        prunes to at most k of the map's partition directories
+        (dynamic partition pruning; plan-asserted in tests)."""
+        from glug_spark.index.pipeline import (
+            docmap_n_buckets,
+            read_docmap,
+        )
+
+        dm = read_docmap(self.spark, self.index_dir)
+        if dm is None:
+            raise FileNotFoundError(
+                f"{self.index_dir}/docmap does not exist — the index "
+                "predates docmap; rebuild (build_index writes it) to "
+                "use with_urls"
+            )
+        n = docmap_n_buckets(self.spark, self.index_dir)
+        res = results.withColumn(
+            "doc_bucket",
+            F.pmod(F.col("doc_id"), F.lit(n)).cast("int"),
+        )
+        out_cols = [c for c in results.columns]
+        return (
+            dm.select("doc_bucket", "doc_id", "url")
+            .join(F.broadcast(res), ["doc_bucket", "doc_id"])
+            .select(*out_cols, "url")
+        )
+
     # --- queries ----------------------------------------------------------
 
     def topk(self, terms: list[str], k: int = 10,
-             conjunctive: bool = False) -> DataFrame:
+             conjunctive: bool = False,
+             with_urls: bool = False) -> DataFrame:
         """Rank-identical to wand.wand_topk over the same index.
 
         Single Spark job: idf rides a broadcast stats join instead of a
@@ -104,7 +136,8 @@ class Searcher:
         per_group = rows.groupBy("grp").applyInPandas(
             lambda pdf: scorer(pdf), schema=wand._SCORE_SCHEMA
         )
-        return wand._ranked_bounded(per_group, k)
+        out = wand._ranked_bounded(per_group, k)
+        return self.attach_urls(out) if with_urls else out
 
     def topk_many(self, queries: dict[str, list[str]], k: int = 10) -> DataFrame:
         """MANY disjunctive top-k queries in ONE Spark job:
@@ -198,15 +231,17 @@ class Searcher:
     def glob_topk(self, glob: str, k: int = 10) -> DataFrame:
         return self.composed_topk(groups=[[("glob", glob)]], k=k)
 
-    def search(self, query: str, k: int = 10) -> DataFrame:
+    def search(self, query: str, k: int = 10,
+               with_urls: bool = False) -> DataFrame:
         """glug-dialect query string → exact top-k (see execute.search)."""
         plan = parse_query(query)
         if not plan.groups and not plan.phrases:
             raise ValueError(f"query has no positive constraint: {query!r}")
-        return self.composed_topk(
+        out = self.composed_topk(
             groups=plan.groups, negations=plan.negations,
             phrases=plan.phrases, k=k,
         )
+        return self.attach_urls(out) if with_urls else out
 
     def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         """MANY glug-dialect query strings in ONE Spark job:

@@ -67,9 +67,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from glug_spark.index.pipeline import (
     ATTEMPT_SPAN,
+    DOCMAP_DIR as _DOCMAP_DIR,
     ENCODED_SCHEMA,
     _make_partition_encoder,
     bucket_col,
+    docmap_n_buckets,
+    write_docmap,
 )
 
 #: stream micro-batches live far above any plausible resume attempt
@@ -456,6 +459,15 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
         ).partitionBy("bucket").parquet(os.path.join(index_dir, "postings"))
     if ranges is not None:
         ranges.add(int(agg["lo"]), int(agg["hi"]))
+    # docmap rows for this batch, BEFORE the manifest commit: the write
+    # overwrites the batch's own sb=<id> sub-tree, so a replay after any
+    # crash (with or without a prior partial docmap write) converges to
+    # exactly one map row per doc. Skipped when the index predates
+    # docmap (no sb=-1 base): a partial map would silently serve NULL
+    # urls for build-corpus docs.
+    if os.path.exists(os.path.join(index_dir, _DOCMAP_DIR)):
+        write_docmap(batch_df, index_dir, sb=int(batch_id),
+                     n_doc_buckets=docmap_n_buckets(spark, index_dir))
     spark.createDataFrame(
         [(int(batch_id), int(n_new), int(agg["lo"]), int(agg["hi"]))],
         "batch_id long, n_docs long, lo_doc long, hi_doc long",

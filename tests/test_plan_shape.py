@@ -105,6 +105,28 @@ def test_ivf_assignment_shuffle_free(spark):
     assert "Window" not in plan
 
 
+def test_with_urls_broadcasts_results_and_prunes_docmap(spark, tmp_path):
+    """The url join-back must broadcast the k-row result set onto the
+    doc_id-bucketed docmap with DYNAMIC PARTITION PRUNING on doc_bucket
+    — a ≤k-partition lookup, never a corpus-sized map scan, and never a
+    shuffle join."""
+    from glug_spark.index.pipeline import build_index
+    from glug_spark.query.searcher import Searcher
+
+    d = str(tmp_path / "idx")
+    build_index(spark, SF_DIR, d, n_buckets=8)
+    with Searcher(spark, d, n_buckets=8, persist=False) as s:
+        plan = _formatted(s.topk(["data", "join"], k=10, with_urls=True))
+    m = re.search(
+        r"Location: InMemoryFileIndex \[[^\]]*docmap\]\n"
+        r"PartitionFilters: \[[^\n]*dynamicpruningexpression\("
+        r"doc_bucket#\d+ IN dynamicpruning", plan
+    )
+    assert m, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_hybrid_rerank_broadcasts_candidates(spark):
     """The hybrid rerank join must be a BroadcastHashJoin with the m-row
     candidate set on the broadcast (build) side — never a shuffle of the

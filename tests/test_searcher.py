@@ -140,6 +140,63 @@ def test_searcher_on_stream_ingested_index(spark, tmp_path):
             assert got == want, terms
 
 
+def test_topk_with_urls_matches_corpus_join(spark, searcher):
+    """with_urls=True appends each hit's url (documents.source) without
+    changing ranks — checked against a corpus join of the plain result."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plain = searcher.topk(["data", "join"], k=10)
+    withu = searcher.topk(["data", "join"], k=10, with_urls=True)
+    want = {
+        (r["rank"], r["doc_id"], r["score"], r["source"])
+        for r in plain.join(docs.select("doc_id", "source"), "doc_id").collect()
+    }
+    got = {
+        (r["rank"], r["doc_id"], r["score"], r["url"])
+        for r in withu.collect()
+    }
+    assert got == want
+    assert withu.columns == ["rank", "doc_id", "score", "url"]
+    # composed dialect path carries urls too
+    s_withu = searcher.search('dat* -noise "table scan"', k=5, with_urls=True)
+    assert s_withu.columns == ["rank", "doc_id", "score", "url"]
+    base = searcher.search('dat* -noise "table scan"', k=5)
+    assert (
+        {(r["rank"], r["doc_id"]) for r in s_withu.collect()}
+        == {(r["rank"], r["doc_id"]) for r in base.collect()}
+    )
+
+
+def test_with_urls_covers_stream_ingested_docs(spark, tmp_path):
+    """docmap rows are appended per ingested batch: a hit landing in a
+    STREAMED doc must resolve its url, not NULL."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from glug_spark.streaming.ingest import ingest_available
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    initial, arrivals = str(tmp_path / "i"), str(tmp_path / "a")
+    index = str(tmp_path / "x")
+    os.makedirs(arrivals)
+    docs.where(F.col("doc_id") < 250).write.parquet(
+        f"{initial}/documents.parquet"
+    )
+    docs.where(F.col("doc_id") >= 250).write.parquet(
+        f"{arrivals}/wave.parquet"
+    )
+    build_index(spark, initial, index, n_buckets=8)
+    ingest_available(spark, arrivals, index, n_buckets=8)
+    with Searcher(spark, index, n_buckets=8, persist=False) as s:
+        got = s.topk(["data"], k=50, with_urls=True).collect()
+    src = {r["doc_id"]: r["source"]
+           for r in docs.select("doc_id", "source").collect()}
+    assert got and all(r["url"] == src[r["doc_id"]] for r in got)
+    assert any(r["doc_id"] >= 250 for r in got)  # a streamed doc hit
+
+
 def test_unicode_corpus_end_to_end(spark, tmp_path):
     """Non-ASCII corpus through the full stack: build (Python
     tokenizer) vs full-scan (JVM tokenizer) must stay rank-identical —
