@@ -1,11 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The engine treats image/audio/video as ``binary`` columns with typed
-metadata, processed by Arrow-batched ``mapInPandas`` stages. The decode
-step itself is STUBBED (no image/audio libs in this container): it
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic md5-derived feature vector stands in — the Spark-side
-plumbing (schema, batch shape, partitioning) is real and tested.
+metadata, processed by Arrow-batched ``mapInPandas`` stages. Two
+formats have REAL pure-stdlib decoders (no image/audio libs in this
+container): 24-bit uncompressed BMP (``decode_bmp`` — file/info header
+parse, bottom-up BGR rows, 4-byte row padding) and 16-bit PCM WAV
+(``decode_wav`` — RIFF chunk walk). The synthetic corpus emits VALID
+payloads of both (``encode_bmp``/``encode_wav`` over md5-derived
+pixels/samples), so the decode step is exercised end-to-end and
+oracle-checked: the decoded bytes' digest and channel/sample statistics
+have closed forms over ``md5(page)`` that DuckDB reproduces. Formats
+without a decoder here (jpeg/png/...) still raise
+``NotImplementedError``; ``fake=True`` substitutes a deterministic
+md5-derived feature vector for any payload.
 
 The synthetic binary corpus derives from the documents table (the HTML
 wrapper bytes), so metadata extraction is oracle-comparable.
@@ -75,8 +82,126 @@ def media_metadata(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- real pure-stdlib codecs: 24-bit BMP + 16-bit PCM WAV ---------------
+
+#: synthetic image/audio geometry. Width 5 deliberately makes the BMP
+#: row stride (15 bytes) NOT a multiple of 4 so the padding path is
+#: exercised on every payload.
+IMG_W, IMG_H = 5, 4
+WAV_N, WAV_RATE = 64, 8000
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24bpp uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up BGR rows, rows padded to 4 bytes)."""
+    import struct
+
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = []
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(pixels[y, :, ::-1].tobytes() + pad)  # RGB → BGR
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24bpp uncompressed BMP → (h, w, 3) uint8 RGB (top-down)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (_, _, _, _, data_off) = struct.unpack_from("<2sIHHI", payload, 0)
+    (hdr_size, w, h, planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or planes != 1:
+        raise ValueError(f"unsupported BMP header (size={hdr_size})")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24bpp uncompressed BMP supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        off = data_off + i * stride
+        row = np.frombuffer(payload, np.uint8, w * 3, off).reshape(w, 3)
+        out[h - 1 - i if bottom_up else i] = row[:, ::-1]  # BGR → RGB
+    return out
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = WAV_RATE) -> bytes:
+    """int16 mono PCM → RIFF/WAVE bytes (fmt + data chunks)."""
+    import struct
+
+    assert samples.dtype == np.int16
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE 16-bit PCM mono → (int16 samples, sample_rate). Walks
+    the chunk list (tolerates extra chunks before/after fmt/data)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError(
+                    f"only 16-bit mono PCM supported (fmt={audio_fmt}, "
+                    f"bits={bits}, channels={channels})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+def doc_pixels(payload: bytes) -> np.ndarray:
+    """Deterministic (IMG_H, IMG_W, 3) RGB derived from md5(payload):
+    the digest hex repeated, decoded to bytes — the closed form the
+    oracle reproduces as ``unhex(substr(repeat(md5(page), 4), 1, 120))``."""
+    hx = hashlib.md5(payload).hexdigest()
+    raw = bytes.fromhex((hx * 4)[: IMG_W * IMG_H * 3 * 2])
+    return np.frombuffer(raw, np.uint8).reshape(IMG_H, IMG_W, 3).copy()
+
+
+def doc_samples(payload: bytes) -> np.ndarray:
+    """Deterministic int16 PCM (little-endian byte pairs of the repeated
+    md5(payload) digest) — oracle closed form over repeat(md5(page), 8)."""
+    hx = hashlib.md5(payload).hexdigest()
+    raw = bytes.fromhex(hx * 8)[: WAV_N * 2]
+    return np.frombuffer(raw, dtype="<i2").copy()
+
+
 def decode_payload(payload: bytes, media_type: str):
-    """The real decoder hook — unavailable in this container."""
+    """Dispatch to the real decoder for supported formats; raise for
+    the rest (jpeg/png/mp3/... have no pure-stdlib decoder here)."""
+    if media_type == "image/bmp":
+        return decode_bmp(bytes(payload))
+    if media_type == "audio/wav":
+        return decode_wav(bytes(payload))
     raise NotImplementedError(
         f"no decoder for {media_type} in this environment; "
         "use extract_features(fake=True) for deterministic stand-ins"
@@ -244,14 +369,24 @@ def frame_digests(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
 def media_pipeline(media: DataFrame, n_frames: int = 4,
                    n_samples: int = RESIZE_SAMPLES) -> DataFrame:
-    """(doc_id, stage, idx, digest, metric) — the three media stages
-    (feature extract / frame sample / resize) FUSED into one
-    ``mapInPandas`` pass: each payload is read once and yields all
-    three stages' rows, instead of a 3-way union that scans the corpus
-    three times (the 100 TB concern; the per-stage functions remain for
-    individual use and their outputs are asserted identical by the
-    oracle row). ``digest`` is '' (not NULL) on feature rows so the
-    cross-engine value hash never depends on NULL ordering."""
+    """(doc_id, stage, idx, digest, metric) — the media stages
+    (feature extract / frame sample / resize / REAL BMP decode / REAL
+    WAV decode) FUSED into one ``mapInPandas`` pass: each payload is
+    read once and yields every stage's rows, instead of a per-stage
+    union that scans the corpus once per stage (the 100 TB concern;
+    the per-stage functions remain for individual use and their
+    outputs are asserted identical by the oracle row).
+
+    The ``bmp`` stage generates a VALID 24bpp BMP (md5-derived pixels,
+    width 5 → padded 16-byte rows), round-trips it through
+    :func:`decode_bmp`, and emits the decoded pixels' hex digest
+    (idx 0, metric = n_pixels) plus per-channel means (idx 1..3) —
+    closed forms the oracle reproduces from ``repeat(md5(page), 4)``.
+    The ``wav`` stage does the same through :func:`encode_wav` /
+    :func:`decode_wav` (idx 0: PCM hex digest, metric = sample_rate;
+    idx 1: mean sample). ``digest`` is '' (not NULL) on metric-only
+    rows so the cross-engine value hash never depends on NULL
+    ordering."""
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("stage", T.StringType()),
@@ -291,6 +426,38 @@ def media_pipeline(media: DataFrame, n_frames: int = 4,
                     "digest": hashlib.md5(rez).hexdigest(),
                     "metric": float(len(rez)),
                 })
+                # REAL decode round trips (generate valid payloads,
+                # parse with the real decoders, digest what came OUT)
+                dec = decode_bmp(encode_bmp(doc_pixels(raw)))
+                rows.append({
+                    "doc_id": doc_id, "stage": "bmp", "idx": 0,
+                    "digest": hashlib.md5(
+                        dec.tobytes().hex().encode("ascii")
+                    ).hexdigest(),
+                    "metric": float(dec.shape[0] * dec.shape[1]),
+                })
+                rows += [
+                    {"doc_id": doc_id, "stage": "bmp", "idx": c + 1,
+                     "digest": "",
+                     "metric": round(
+                         float(int(dec[:, :, c].astype(np.int64).sum())
+                               / (IMG_W * IMG_H)), 6)}
+                    for c in range(3)
+                ]
+                smp, rate = decode_wav(encode_wav(doc_samples(raw)))
+                rows.append({
+                    "doc_id": doc_id, "stage": "wav", "idx": 0,
+                    "digest": hashlib.md5(
+                        smp.astype("<i2").tobytes().hex().encode("ascii")
+                    ).hexdigest(),
+                    "metric": float(rate),
+                })
+                rows.append({
+                    "doc_id": doc_id, "stage": "wav", "idx": 1,
+                    "digest": "",
+                    "metric": round(
+                        float(int(smp.astype(np.int64).sum()) / WAV_N), 6),
+                })
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(
@@ -313,6 +480,38 @@ SELECT doc_id, 'resize' AS stage, idx, digest, metric FROM (
     SELECT doc_id, CAST(0 AS INT) AS idx, resized_md5 AS digest,
            CAST(resized_len AS DOUBLE) AS metric
     FROM ({resize_digests_sql()}))
+UNION ALL
+SELECT doc_id, 'bmp' AS stage, CAST(0 AS INT) AS idx,
+       md5(substr(repeat(md5(page), 4), 1, {IMG_W * IMG_H * 3 * 2}))
+           AS digest,
+       CAST({IMG_W * IMG_H} AS DOUBLE) AS metric
+FROM ({corpus.WEBTEXT_SQL})
+UNION ALL
+SELECT doc_id, 'bmp' AS stage, CAST(j % 3 + 1 AS INT) AS idx,
+       '' AS digest,
+       round(avg(('0x' || substr(repeat(md5(page), 4),
+                                 CAST(2 * j + 1 AS BIGINT), 2))::INT),
+             6) AS metric
+FROM ({corpus.WEBTEXT_SQL}) CROSS JOIN range({IMG_W * IMG_H * 3}) t(j)
+GROUP BY doc_id, j % 3
+UNION ALL
+SELECT doc_id, 'wav' AS stage, CAST(0 AS INT) AS idx,
+       md5(repeat(md5(page), 8)) AS digest,
+       CAST({WAV_RATE} AS DOUBLE) AS metric
+FROM ({corpus.WEBTEXT_SQL})
+UNION ALL
+SELECT doc_id, 'wav' AS stage, CAST(1 AS INT) AS idx, '' AS digest,
+       round(avg(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END), 6)
+           AS metric
+FROM (
+    SELECT doc_id,
+           ('0x' || substr(repeat(md5(page), 8),
+                           CAST(4 * i + 1 AS BIGINT), 2))::INT
+           + 256 * ('0x' || substr(repeat(md5(page), 8),
+                                   CAST(4 * i + 3 AS BIGINT), 2))::INT AS v
+    FROM ({corpus.WEBTEXT_SQL}) CROSS JOIN range({WAV_N}) t(i)
+)
+GROUP BY doc_id
 """
 
 
