@@ -54,7 +54,7 @@ def _doc_text(rng: np.random.Generator, vocab: np.ndarray) -> str:
     return text
 
 
-def _batches(seed: int):
+def _batches(seed: int) -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
     vocab = _vocab()
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -204,7 +204,7 @@ def encode_segment(
     }
 
 
-def _pos_deltas(p) -> np.ndarray:
+def _pos_deltas(p: np.ndarray) -> np.ndarray:
     p = np.asarray(p, dtype=np.uint64)
     d = np.empty(len(p), dtype=np.uint64)
     if len(p):
@@ -353,7 +353,7 @@ def encode_runs(
     ]
 
 
-def decode_segment(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def decode_segment(row: "dict | pd.Series") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(doc_ids int64, tfs int64, dls int64) from an encoded row/dict."""
     get = row.get if hasattr(row, "get") else row.__getitem__
     doc_ids = delta_decode(varbyte_decode(get("doc_gaps"))).astype(np.int64)
@@ -362,7 +362,8 @@ def decode_segment(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return doc_ids, tfs, dls
 
 
-def decode_position_blocks(row, blocks, tfs_concat: np.ndarray,
+def decode_position_blocks(row: "dict | pd.Series", blocks: np.ndarray,
+                           tfs_concat: np.ndarray,
                            block: int = BLOCK) -> list[np.ndarray]:
     """Per-doc position lists for the given blocks ONLY — skipped
     blocks' position bytes are never touched (``pos_offsets`` gives
@@ -385,7 +386,7 @@ def decode_position_blocks(row, blocks, tfs_concat: np.ndarray,
     return out
 
 
-def decode_blocks(row, blocks: np.ndarray,
+def decode_blocks(row: "dict | pd.Series", blocks: np.ndarray,
                   block: int = BLOCK) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Selective decode of the given block indices (sorted, unique).
 
@@ -400,7 +401,7 @@ def decode_blocks(row, blocks: np.ndarray,
     doc_gaps, tf_blob, dl_blob = get("doc_gaps"), get("tfs"), get("dls")
     n_blocks = len(gap_off)
 
-    def _slice(blob, offsets, b):
+    def _slice(blob: bytes, offsets: np.ndarray, b: int) -> bytes:
         end = offsets[b + 1] if b + 1 < n_blocks else len(blob)
         return blob[offsets[b] : end]
 

@@ -95,7 +95,7 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
     }])
 
 
-def read_segmap(spark: SparkSession, index_dir: str):
+def read_segmap(spark: SparkSession, index_dir: str) -> "DataFrame | None":
     """The segment→grp map, or None if the index was never compacted."""
     path = os.path.join(index_dir, SEGMAP_DIR)
     if not os.path.exists(path):

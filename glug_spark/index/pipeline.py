@@ -92,7 +92,7 @@ def doc_bucket_col(n_doc_buckets: int = N_DOC_BUCKETS) -> F.Column:
     )
 
 
-def write_docmap(docs, out_dir: str, sb: int,
+def write_docmap(docs: "DataFrame", out_dir: str, sb: int,
                  n_doc_buckets: int = N_DOC_BUCKETS) -> None:
     """(doc_id, url) for one source batch → docmap/sb=<sb>/doc_bucket=*.
 
@@ -118,7 +118,7 @@ def write_docmap(docs, out_dir: str, sb: int,
     )
 
 
-def read_docmap(spark: SparkSession, index_dir: str):
+def read_docmap(spark: SparkSession, index_dir: str) -> "DataFrame | None":
     """The (doc_id, url, doc_bucket, sb) map, or None if absent
     (pre-docmap index)."""
     path = os.path.join(index_dir, DOCMAP_DIR)
@@ -235,8 +235,9 @@ def _encode_doc_batch(pdf: pd.DataFrame, segment: int, n_buckets: int,
     })
 
 
-def _make_partition_encoder(n_buckets: int, done_lineages: set[str],
-                            attempt: int):
+def _make_partition_encoder(
+    n_buckets: int, done_lineages: set[str], attempt: int,
+) -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
     """mapInPandas worker: encode each incoming document batch in place.
 
     ZERO-shuffle build: segments are simply attempt-salted (input
@@ -253,7 +254,9 @@ def _make_partition_encoder(n_buckets: int, done_lineages: set[str],
 
     pat = _re.compile(r"\w+", _re.UNICODE)
 
-    def encode(batches):
+    def encode(
+        batches: "Iterator[pd.DataFrame]",
+    ) -> "Iterator[pd.DataFrame]":
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()

@@ -453,7 +453,7 @@ _TOKEN_HASH_CACHE: dict[str, bytes] = {}
 _TOKEN_HASH_CACHE_MAX = 4_000_000  # ~token strings + 8B each; bounded
 
 
-def _token_hashes(uniques) -> "np.ndarray":
+def _token_hashes(uniques: "np.ndarray | pd.Index") -> "np.ndarray":
     import hashlib
 
     cache = _TOKEN_HASH_CACHE

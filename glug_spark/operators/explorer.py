@@ -49,7 +49,8 @@ def _basename(path: str) -> str:
 class _Chain:
     """Compiled rule chains + repo topology, built plan-time."""
 
-    def __init__(self, entries: list[tuple[str, str, str | None]], root: str):
+    def __init__(self, entries: list[tuple[str, str, str | None]],
+                 root: str) -> None:
         self.root = root
         self.gitignores: dict[str, IgnoreFilter] = {}
         git_dirs: set[str] = set()       # dirs whose entry ".git" is a dir
@@ -139,7 +140,8 @@ class _Chain:
                 return decision != Decision.EXCLUDED
         return True
 
-    def decide_batch(self, parent: str, paths, names, is_dir):
+    def decide_batch(self, parent: str, paths: pd.Series, names: pd.Series,
+                     is_dir: np.ndarray) -> np.ndarray:
         """Vectorized :meth:`decide` for entries sharing one parent dir
         (they walk the SAME level chain): per level, one combined-regex
         batch pass over the whole array instead of a per-path Python

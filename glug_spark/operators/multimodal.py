@@ -195,7 +195,9 @@ def doc_samples(payload: bytes) -> np.ndarray:
     return np.frombuffer(raw, dtype="<i2").copy()
 
 
-def decode_payload(payload: bytes, media_type: str):
+def decode_payload(
+    payload: bytes, media_type: str
+) -> np.ndarray | tuple[np.ndarray, int]:
     """Dispatch to the real decoder for supported formats; raise for
     the rest (jpeg/png/mp3/... have no pure-stdlib decoder here)."""
     if media_type == "image/bmp":

@@ -49,7 +49,7 @@ def _decisions(filt: SelectFilter | IgnoreFilter) -> tuple[str, str, str]:
     return Decision.EXCLUDED.value, Decision.INCLUDED.value, Decision.UNDECIDED.value
 
 
-def _decision_runs(filt: SelectFilter | IgnoreFilter):
+def _decision_runs(filt: SelectFilter | IgnoreFilter) -> list:
     """CONSECUTIVE same-decision file rules combined into one alternation
     per candidate kind (semantics.filters.build_runs) — the multi-pattern
     single-pass analog of the reference's hyperscan provider

@@ -108,7 +108,7 @@ FROM r
 """
 
 
-def _pred_lang_col():
+def _pred_lang_col() -> F.Column:
     """argmax of stopword-marker hits per language, ties broken
     lexicographically (shared by :func:`lang_id` / :func:`text_quality`)."""
     a = token_array()

@@ -71,8 +71,8 @@ def search(docs: DataFrame, query: str, k: int = 10) -> DataFrame:
     return bm25._ranked_topk(per_doc, k)
 
 
-def search_indexed(spark, index_dir: str, query: str, k: int = 10,
-                   n_buckets: int = 16):
+def search_indexed(spark: SparkSession, index_dir: str, query: str,
+                   k: int = 10, n_buckets: int = 16) -> DataFrame:
     """Index-backed :func:`search`: same glug-dialect queries answered
     from the encoded index — EXACT and rank-identical to the full-scan
     path (differential tests assert it).

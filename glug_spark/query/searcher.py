@@ -63,7 +63,7 @@ class Searcher:
     def __enter__(self) -> "Searcher":
         return self
 
-    def __exit__(self, *exc) -> None:
+    def __exit__(self, *exc: object) -> None:
         self.close()
 
     # --- internals -------------------------------------------------------
@@ -213,7 +213,9 @@ class Searcher:
                     F.round("raw_score", 6).alias("score"))
         )
 
-    def composed_topk(self, groups, negations=None, phrases=None,
+    def composed_topk(self, groups: list[list[tuple[str, str]]],
+                      negations: list[tuple[str, str]] | None = None,
+                      phrases: list[list[str]] | None = None,
                       k: int = 10) -> DataFrame:
         negations = negations or []
         phrases = phrases or []

@@ -109,7 +109,7 @@ def _upper_bound(max_tf: float, idf: float) -> float:
     return idf * (max_tf * (K1 + 1.0)) / (max_tf + K1 * (1.0 - B))
 
 
-def _sorted_lists(parts) -> dict:
+def _sorted_lists(parts: tuple[list, list, list]) -> dict:
     ids_l, tfs_l, dls_l = parts
     if not ids_l:
         z = np.zeros(0, np.int64)
@@ -261,8 +261,11 @@ def _empty_scores() -> pd.DataFrame:
     )
 
 
-def _maxscore_pass(groups: dict, idfs: dict[str, float], avgdl: float, k: int,
-                   passes_filter=None, predecoded: dict | None = None):
+def _maxscore_pass(
+    groups: dict, idfs: dict[str, float], avgdl: float, k: int,
+    passes_filter: "Callable[[np.ndarray], np.ndarray] | None" = None,
+    predecoded: dict | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
     """Shared MaxScore kernel: exact top-k candidates + scores for one
     doc-space group, with an optional doc-level filter applied BEFORE
     θ-seeding and before the local top-k (keeps filtered top-k exact:
@@ -341,8 +344,10 @@ def _local_topk(cand: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
                          "raw_score": scores.astype("float64")})
 
 
-def make_segment_scorer(terms: list[str], idfs: dict[str, float] | None,
-                        avgdl: float, k: int, conjunctive: bool):
+def make_segment_scorer(
+    terms: list[str], idfs: dict[str, float] | None,
+    avgdl: float, k: int, conjunctive: bool,
+) -> "Callable[[pd.DataFrame], pd.DataFrame]":
     """Plain top-k scorer for one doc-space group. ``idfs=None`` reads
     idf from an ``idf`` row column instead (stats delivered by a
     broadcast join — saves the separate stats-lookup job)."""
@@ -452,7 +457,7 @@ def wand_topk(
 
 # --- composed queries: groups + negation + phrase, filters exact --------
 
-def _member_pred(members: list[tuple[str, str]]):
+def _member_pred(members: list[tuple[str, str]]) -> F.Column:
     """stats/postings `term` column predicate for group members.
 
     Glob members carry their literal prefix as a ``startswith``
@@ -473,7 +478,9 @@ def _member_pred(members: list[tuple[str, str]]):
     return pred
 
 
-def _pushable_member_pred(members: list[tuple[str, str]]):
+def _pushable_member_pred(
+    members: list[tuple[str, str]],
+) -> F.Column | None:
     """Weakened member predicate made ONLY of parquet-pushable leaves
     (In / StringStartsWith), or None when some member has no pushable
     form (a prefixless glob). Redundant with the exact predicate — it
@@ -580,8 +587,9 @@ def _phrase_hits_segment(pdf: pd.DataFrame, words: list[str]) -> np.ndarray:
     return _phrase_doc_ids(per_word, words)
 
 
-def make_composed_scorer(n_groups: int, phrases: list[list[str]],
-                         avgdl: float, k: int):
+def make_composed_scorer(
+    n_groups: int, phrases: list[list[str]], avgdl: float, k: int,
+) -> "Callable[[pd.DataFrame], pd.DataFrame]":
     """Scorer for one doc-space group of a composed query.
 
     Row columns carry the query roles, computed JVM-side and fully
@@ -700,10 +708,14 @@ def build_members(stats_df: DataFrame,
     )
 
 
-def _composed_from_parts(spark, postings: DataFrame, members: DataFrame,
-                         grp_mapper, avgdl: float,
-                         groups, negations, phrases, k: int,
-                         n_buckets: int) -> DataFrame:
+def _composed_from_parts(
+    spark: SparkSession, postings: DataFrame, members: DataFrame,
+    grp_mapper: "Callable[[DataFrame], DataFrame]", avgdl: float,
+    groups: list[list[tuple[str, str]]],
+    negations: list[tuple[str, str]],
+    phrases: list[list[str]], k: int,
+    n_buckets: int,
+) -> DataFrame:
     """Shared tail of the composed path (module function + Searcher)."""
     phrase_words = list(dict.fromkeys(w for ph in phrases for w in ph))
     # bucket pruning: only possible when every member is an explicit term

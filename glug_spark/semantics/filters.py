@@ -90,7 +90,7 @@ def build_runs(items: list["_Item"], key_on_directory: bool = True) -> list[_Run
     runs = []
     for inv, its in grouped:
 
-        def _comb(subset):
+        def _comb(subset: list) -> str | None:
             pats = [i.pattern for i in subset]
             return combine_patterns(pats) if pats else None
 
@@ -106,8 +106,9 @@ def build_runs(items: list["_Item"], key_on_directory: bool = True) -> list[_Run
     return runs
 
 
-def _runs_decide(runs: list[_Run], paths, names, is_dir,
-                 plain: int, inverted: int, fallback: int):
+def _runs_decide(runs: list[_Run], paths: pd.Series, names: pd.Series,
+                 is_dir: np.ndarray,
+                 plain: int, inverted: int, fallback: int) -> np.ndarray:
     """Vectorized last-match-wins over arrays of paths.
 
     ``paths``/``names``: pandas string Series (positionally aligned);
@@ -125,7 +126,7 @@ def _runs_decide(runs: list[_Run], paths, names, is_dir,
     any_dir = bool(is_dir.any())
     all_dir = bool(is_dir.all())
 
-    def _match(base_pat, path_pat):
+    def _match(base_pat: str | None, path_pat: str | None) -> np.ndarray:
         m = np.zeros(n, dtype=bool)
         if base_pat is not None:
             m |= names.str.fullmatch(base_pat).to_numpy(dtype=bool)
@@ -230,7 +231,8 @@ class IgnoreFilter:
             self._runs: list[_Run] = build_runs(self.items)
         return self._runs
 
-    def apply_batch(self, paths, names, is_dir):
+    def apply_batch(self, paths: pd.Series, names: pd.Series,
+                    is_dir: np.ndarray) -> np.ndarray:
         """Vectorized :meth:`apply` over arrays — one combined-regex
         pass per consecutive same-decision rule run, not one Python
         regex call per (path, rule). Returns int8 decision codes
@@ -300,7 +302,8 @@ class SelectFilter:
             setattr(self, attr, build_runs(items, key_on_directory=False))
         return getattr(self, attr)
 
-    def apply_batch(self, paths, names, is_dir):
+    def apply_batch(self, paths: pd.Series, names: pd.Series,
+                    is_dir: np.ndarray) -> np.ndarray:
         """Vectorized :meth:`apply`: files and dirs resolve against their
         own rule lists/fallbacks; an empty list for a kind → UNDECIDED."""
         import numpy as np

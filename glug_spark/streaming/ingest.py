@@ -117,7 +117,8 @@ def _done_batches(spark: SparkSession, index_dir: str) -> set[int]:
     }
 
 
-def _read_state(spark: SparkSession, index_dir: str):
+def _read_state(spark: SparkSession,
+                index_dir: str) -> tuple[set[int], int] | None:
     """(folded batch ids, running total_tokens) or None if no state."""
     p = _stats_state_path(index_dir)
     if not os.path.exists(p):
@@ -142,7 +143,7 @@ class DocRanges:
     check then degrades to the strict global watermark."""
 
     def __init__(self, build_hi: int, global_hi: int,
-                 ranges: list[tuple[int, int]], legacy: bool):
+                 ranges: list[tuple[int, int]], legacy: bool) -> None:
         self.build_hi = build_hi
         self.global_hi = global_hi
         self.ranges = list(ranges)
@@ -259,7 +260,7 @@ def _write_collection(spark: SparkSession, index_dir: str,
     return {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total_tokens}
 
 
-def _idf(df_col, n_docs: int):
+def _idf(df_col: F.Column, n_docs: int) -> F.Column:
     return F.log(
         1.0
         + (F.lit(n_docs) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
