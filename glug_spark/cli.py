@@ -153,6 +153,12 @@ def main(argv: list[str] | None = None) -> int:
              "versions; normally the probe runs only when this batch's "
              "attempt marker exists)",
     )
+    ing.add_argument(
+        "--auto-compact-groups", type=int, default=None, metavar="N",
+        help="compaction policy: after the drain, compact the index "
+             "when the scoring-group count exceeds N (bounds per-query "
+             "group fan-out under continuous ingest)",
+    )
 
     args = parser.parse_args(argv)
 
@@ -246,6 +252,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.input, args.index, n_buckets=args.buckets,
                 validate_doc_ids=not args.no_validate_doc_ids,
                 probe_namespaces=args.probe_namespaces,
+                auto_compact_groups=args.auto_compact_groups,
             )))
         elif args.command == "compact":
             from glug_spark.index.compact import compact_index

@@ -103,6 +103,52 @@ def read_segmap(spark: SparkSession, index_dir: str) -> "DataFrame | None":
     return spark.read.parquet(path)
 
 
+def fragmentation(spark: SparkSession, index_dir: str) -> dict:
+    """Cheap fragmentation probe: distinct segments on disk and
+    distinct SCORING GROUPS after the segmap (what actually bounds
+    per-query fan-out — every query's Arrow scorer runs once per group
+    its terms touch). One metadata-scale aggregate over the encoded
+    rows' ``segment`` column; no posting blob is read."""
+    enc = spark.read.parquet(os.path.join(index_dir, "postings"))
+    segs = enc.select("segment").distinct()
+    segmap = read_segmap(spark, index_dir)
+    if segmap is None:
+        n_groups = segs.count()
+        n_segments = n_groups
+    else:
+        n_segments = segs.count()
+        n_groups = (
+            segs.join(F.broadcast(segmap), "segment", "left")
+            .select(F.coalesce("grp", "segment").alias("grp"))
+            .distinct()
+            .count()
+        )
+    return {"n_segments": int(n_segments), "n_groups": int(n_groups)}
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    max_groups: int,
+    min_run: int = 64,
+    merge_factor: int = 32,
+) -> dict | None:
+    """Compaction POLICY: compact when the scoring-group count exceeds
+    ``max_groups``, else no-op (returns None). The trigger is the group
+    count (not raw segments) so repeated drains don't re-compact an
+    already-coarsened index; each compaction divides the group count by
+    ``merge_factor``, so a steady ingest stream stabilizes around
+    ``max_groups`` with O(log) compactions per epoch."""
+    frag = fragmentation(spark, index_dir)
+    if frag["n_groups"] <= max_groups:
+        return None
+    summary = compact_index(
+        spark, index_dir, min_run=min_run, merge_factor=merge_factor
+    )
+    summary["trigger_groups"] = frag["n_groups"]
+    return summary
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,

@@ -491,6 +491,7 @@ def ingest_available(
     checkpoint: str | None = None,
     validate_doc_ids: bool = True,
     probe_namespaces: bool = False,
+    auto_compact_groups: int | None = None,
 ) -> dict:
     """Drain everything currently available in ``input_dir`` into the
     index (Trigger.AvailableNow), then fold the new batches' stats once.
@@ -501,6 +502,14 @@ def ingest_available(
     make the sink exactly-once at micro-batch granularity.
     ``probe_namespaces=True`` forces the orphan probe on every batch
     (needed only for crash debris from pre-marker versions).
+
+    ``auto_compact_groups``: compaction POLICY — after the drain's
+    stats fold, run ``compact_index`` iff the scoring-group count
+    exceeds this bound (each ingested micro-batch appends ≥1 segment;
+    unbounded drains would otherwise let per-query group fan-out grow
+    with ingest history). The fold-before-compact ordering contract is
+    satisfied by construction (the fold just ran). The summary gains a
+    ``compacted`` key (None when the policy did not trigger).
     """
     checkpoint = checkpoint or os.path.join(index_dir, "stream_checkpoint")
     # recursive lookup: arrivals land as whole parquet DIRECTORIES
@@ -525,4 +534,11 @@ def ingest_available(
         .start()
     )
     q.awaitTermination()
-    return refresh_stats(spark, index_dir)
+    summary = refresh_stats(spark, index_dir)
+    if auto_compact_groups is not None:
+        from glug_spark.index.compact import maybe_compact
+
+        summary["compacted"] = maybe_compact(
+            spark, index_dir, max_groups=auto_compact_groups
+        )
+    return summary

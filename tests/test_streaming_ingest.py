@@ -350,6 +350,57 @@ def test_compact_folds_committed_but_unfolded_batch(spark, tmp_path):
         assert got == want, terms
 
 
+def test_auto_compact_policy(spark, tmp_path):
+    """auto_compact_groups: the drain compacts iff the scoring-group
+    count exceeds the bound — a second drain with no new arrivals must
+    NOT re-compact (the trigger counts groups, not raw segments) — and
+    queries stay rank-identical across the policy compaction."""
+    from glug_spark.index.compact import fragmentation, read_segmap
+
+    initial = str(tmp_path / "initial")
+    arrivals = str(tmp_path / "arrivals")
+    index = str(tmp_path / "index")
+    os.makedirs(arrivals)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "64")  # multi-segment build
+    try:
+        docs.where(F.col("doc_id") < 300).write.parquet(
+            os.path.join(initial, "documents.parquet")
+        )
+        build_index(spark, initial, index, n_buckets=8)
+        summaries = []
+        for w, (lo, hi) in enumerate([(300, 400), (400, 500)]):
+            docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).write.parquet(os.path.join(arrivals, f"wave{w}.parquet"))
+            summaries.append(
+                ingest_available(spark, arrivals, index, n_buckets=8,
+                                 auto_compact_groups=4)
+            )
+    finally:
+        spark.conf.set(key, prev)
+    # first drain: multi-segment build + wave exceeds the bound → compact
+    assert summaries[0]["compacted"] is not None
+    assert summaries[0]["compacted"]["trigger_groups"] > 4
+    assert read_segmap(spark, index) is not None
+    # second drain adds few segments onto the coarsened index: the
+    # trigger counts GROUPS (not raw segments), so no re-compaction
+    assert summaries[1]["compacted"] is None
+    # group fan-out stays bounded by the policy (physical segments may
+    # shrink too — fragmented runs are rewritten under their grp id)
+    assert fragmentation(spark, index)["n_groups"] <= 4
+
+    for terms, k, conj in QUERIES:
+        want = [tuple(r) for r in
+                bm25.bm25_topk(docs, terms, k=k, conjunctive=conj).collect()]
+        got = [tuple(r) for r in
+               wand.wand_topk(spark, index, terms, k=k, conjunctive=conj,
+                              n_buckets=8).collect()]
+        assert got == want, terms
+
+
 def test_happy_path_skips_namespace_probe(spark, tmp_path, monkeypatch):
     """No attempt marker → no orphan probe: the per-batch postings-
     metadata scan must NOT run on a clean (non-replayed) batch."""
