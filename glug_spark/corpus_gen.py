@@ -91,3 +91,80 @@ def write_corpus(
         f"{out_dir}/documents.parquet"
     )
     return out_dir
+
+
+# --- embeddings (ANN bench scale) ---------------------------------------
+
+EMB_DIM = 64
+EMB_CLUSTERS = 32
+
+EMB_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+    T.StructField("label", T.IntegerType()),
+])
+
+
+def _emb_batches(seed: int, dim: int, n_clusters: int) -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # cluster centers are a pure function of the seed (identical on
+        # every executor); vectors = center + noise, one PCG per vec_id
+        # → byte-stable across parallelism levels, like the documents
+        crng = np.random.default_rng(seed)
+        centers = crng.standard_normal((n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        def base_vec(vec_id: int) -> tuple[np.ndarray, int]:
+            rng = np.random.default_rng((seed << 34) ^ (vec_id * 2 + 1))
+            # noise 0.1: intra-cluster cosine ≈ 0.6, inter ≈ 0 —
+            # tight enough that IVF probe curves and near-dup
+            # thresholds are meaningful, loose enough to be non-toy
+            label = vec_id % n_clusters
+            return centers[label] + 0.1 * rng.standard_normal(dim), label
+
+        for pdf in it:
+            rows = []
+            for vec_id in pdf["id"]:
+                vec_id = int(vec_id)
+                if vec_id % 1000 == 999:
+                    # planted near-dup: a 0.02-jittered copy of the
+                    # previous vector (cosine ≈ 0.98) — gives embedding
+                    # dedup a KNOWN ~n/1000 true-pair set to recall
+                    src, label = base_vec(vec_id - 1)
+                    rng = np.random.default_rng(
+                        (seed << 34) ^ (vec_id * 2 + 1)
+                    )
+                    v = src + 0.02 * rng.standard_normal(dim)
+                else:
+                    v, label = base_vec(vec_id)
+                rows.append({
+                    "vec_id": vec_id,
+                    "embedding": v.astype(np.float32).tolist(),
+                    "label": label,
+                })
+            yield pd.DataFrame(rows)
+
+    return gen
+
+
+def generate_embeddings(
+    spark: SparkSession, n_vecs: int, dim: int = EMB_DIM,
+    n_clusters: int = EMB_CLUSTERS, seed: int = 7, partitions: int = 32,
+) -> DataFrame:
+    """Deterministic clustered embeddings (testdata-compatible schema:
+    vec_id, embedding float[], label) — a Gaussian mixture around unit
+    centers so IVF recall curves are meaningful, byte-stable across
+    runs and parallelism levels (per-row PCG64)."""
+    base = spark.range(0, n_vecs, numPartitions=partitions)
+    return base.mapInPandas(
+        _emb_batches(seed, dim, n_clusters), schema=EMB_SCHEMA
+    )
+
+
+def write_embeddings(
+    spark: SparkSession, n_vecs: int, out_dir: str, seed: int = 7
+) -> str:
+    """Write ``{out_dir}/embeddings.parquet`` (bench-compatible layout)."""
+    generate_embeddings(spark, n_vecs, seed=seed).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/embeddings.parquet")
+    return out_dir

@@ -38,6 +38,32 @@ def token_array(text: Column | str = "text") -> Column:
     return F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), F.lit(0))
 
 
+def shingle_array(a: Column, k: int) -> Column:
+    """Array of space-joined token k-grams — O(tokens) per row.
+
+    The obvious form — ``element_at(a, i+j)`` inside a ``transform``
+    lambda — re-evaluates the ``a`` expression PER ELEMENT (higher-order
+    functions block Catalyst's common-subexpression elimination), which
+    turns shingling into O(tokens² · regex) per document when ``a`` is
+    ``regexp_extract_all(text)``: 30+ms/doc on ~200-token webtext,
+    dominating any corpus-scale dedup job. Building the k-grams by
+    iterated ``zip_with`` over shifted ``slice``s evaluates ``a`` only
+    O(k) times per row; ``zip_with`` pads the shorter array with nulls,
+    ``concat`` propagates them, and the final ``filter`` drops exactly
+    the k-1 tail entries — for docs with fewer than k tokens the result
+    is empty, matching the guarded ``when(size >= k, ...)`` semantics.
+    """
+    acc = a
+    for j in range(1, k):
+        shifted = F.slice(
+            a, j + 1, F.greatest(F.size(a) - j, F.lit(0))
+        )
+        acc = F.zip_with(
+            acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return F.filter(acc, lambda x: x.isNotNull())
+
+
 def tokens(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, pos, term) — one row per token occurrence, 0-based pos."""
     return docs.select(

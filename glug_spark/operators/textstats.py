@@ -275,18 +275,13 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 4) -> DataFrame:
     detection at scale (each doc emits ~2n/w fingerprints)."""
     from pyspark.sql import Window as W
 
-    a = token_array()
-    kgrams = F.when(
-        F.size(a) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(a) - k),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ", *[F.element_at(a, i + j + 1) for j in range(k)]
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from glug_spark.index.build import shingle_array
+
+    # O(tokens) k-gram build (the element_at-in-transform form is
+    # O(tokens²·regex): see index.build.shingle_array)
+    kgrams = F.transform(
+        shingle_array(token_array(), k), lambda s: F.md5(s)
+    )
     g = docs.select("doc_id", F.posexplode(kgrams).alias("pos", "h"))
     win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     return (
