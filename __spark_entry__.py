@@ -263,6 +263,19 @@ def _cosine_topk_many_oracle() -> str:
     })
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering, raw + Jaccard-verified variants in one row
+    (oracle: recursive-CTE closure over each pair set)."""
+    docs = _docs(spark, sf_dir)
+    raw = dedup.dup_clusters(dedup.dup_pairs_minhash(docs)).withColumn(
+        "variant", F.lit("raw")
+    )
+    ver = dedup.dup_clusters(dedup.dup_pairs_verified(docs, 0.5)).withColumn(
+        "variant", F.lit("verified")
+    )
+    return raw.unionByName(ver)
+
+
 def _q_searcher_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glug_spark.query.searcher import Searcher
 
@@ -476,10 +489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pairs_minhash": lambda s, d: dedup.dup_pairs_minhash(_docs(s, d)),
         # transitive closure over the candidate pairs: connected
         # components by min-label propagation (canonical survivor =
-        # min doc_id per near-dup cluster)
-        "dup_clusters": lambda s, d: dedup.dup_clusters(
-            dedup.dup_pairs_minhash(_docs(s, d))
-        ),
+        # min doc_id per near-dup cluster). Merged row: variant='raw'
+        # clusters the LSH candidates directly, variant='verified'
+        # clusters only exact-Jaccard-verified pairs (the production
+        # candidate-verify configuration)
+        "dup_clusters": _q_dup_clusters,
         "jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_docs(s, d)),
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
@@ -614,7 +628,11 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": dedup.minhash_bands_sql()
         + " ORDER BY doc_id, band_id",
         "dup_pairs_minhash": dedup.dup_pairs_minhash_sql(),
-        "dup_clusters": dedup.dup_clusters_sql(),
+        "dup_clusters": (
+            f"SELECT *, 'raw' AS variant FROM ({dedup.dup_clusters_sql()}) "
+            f"UNION ALL SELECT *, 'verified' AS variant "
+            f"FROM ({dedup.dup_clusters_sql(0.5)})"
+        ),
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "simhash": dedup.simhash_sql(),
         "simhash_pairs": dedup.simhash_pairs_sql(),

@@ -130,6 +130,12 @@ def main(argv: list[str] | None = None) -> int:
         help="also drop NEAR-duplicates (MinHash-LSH candidates -> "
              "transitive clusters -> keep the min-doc_id canonical)",
     )
+    cu.add_argument(
+        "--verify-jaccard", type=float, default=None, metavar="T",
+        help="with --fuzzy: verify each LSH candidate pair with exact "
+             "shingle Jaccard >= T before clustering (production "
+             "config; default clusters raw candidates)",
+    )
 
     ing = sub.add_parser(
         "ingest", help="stream newly-arrived documents into the index"
@@ -202,7 +208,8 @@ def main(argv: list[str] | None = None) -> int:
             docs = spark.read.parquet(f"{args.input}/documents.parquet")
             langs = args.langs.split(",") if args.langs else None
             out = curate_docs(docs, min_quality=args.min_quality,
-                              langs=langs, fuzzy=args.fuzzy)
+                              langs=langs, fuzzy=args.fuzzy,
+                              verify_threshold=args.verify_jaccard)
             out.write.mode("overwrite").parquet(
                 f"{args.output}/documents.parquet"
             )

@@ -31,6 +31,7 @@ def curate(
     min_quality: float = 0.3,
     langs: list[str] | None = None,
     fuzzy: bool = False,
+    verify_threshold: float | None = None,
 ) -> DataFrame:
     """Cleaned corpus: deduplicated + quality-floored (+ language-
     filtered when ``langs`` given). Returns the AUDIT projection of the
@@ -42,13 +43,17 @@ def curate(
     candidates → transitive clusters → only the min-doc_id canonical
     of each cluster survives (``dedup.dedup_apply_fuzzy``). Exact dedup
     still runs first (byte-identical copies never reach the shingle
-    stage)."""
+    stage). ``verify_threshold`` (with ``fuzzy=True``) verifies each
+    LSH candidate pair with exact Jaccard before clustering — the
+    production configuration."""
     keep = dedup.exact_groups(docs).select(
         F.col("keep_doc_id").alias("doc_id")
     )
     kept_docs = docs.join(keep, "doc_id", "left_semi")
     if fuzzy:
-        kept_docs = dedup.dedup_apply_fuzzy(kept_docs)
+        kept_docs = dedup.dedup_apply_fuzzy(
+            kept_docs, verify_threshold=verify_threshold
+        )
     # quality + language are pure column expressions — computed INLINE
     # on the kept docs (the docstring's promised plan shape; the old
     # form joined two corpus-sized per-doc projections back on doc_id,
@@ -89,20 +94,25 @@ def curate_docs(
     min_quality: float = 0.3,
     langs: list[str] | None = None,
     fuzzy: bool = False,
+    verify_threshold: float | None = None,
 ) -> DataFrame:
     """The surviving documents with their ORIGINAL columns — what
     ``build_index`` consumes directly (curate → index is the pipeline;
     :func:`curate` is the audit projection the oracle checks)."""
-    kept = curate(docs, min_quality, langs, fuzzy=fuzzy).select("doc_id")
+    kept = curate(docs, min_quality, langs, fuzzy=fuzzy,
+                  verify_threshold=verify_threshold).select("doc_id")
     return docs.join(kept, "doc_id", "left_semi")
 
 
 def curate_fuzzy_sql(
-    min_quality: float = 0.3, langs: list[str] | None = None
+    min_quality: float = 0.3, langs: list[str] | None = None,
+    verify_threshold: float | None = None,
 ) -> str:
     """Differential twin for ``curate(..., fuzzy=True)``: the exact-
     dedup keeper set minus non-canonical near-dup cluster members
-    (recursive-CTE closure), then the same quality/lang predicates."""
+    (recursive-CTE closure — over Jaccard-verified pairs when
+    ``verify_threshold`` is given), then the same quality/lang
+    predicates."""
     lang_clause = ""
     if langs:
         quoted = ", ".join(f"'{lang}'" for lang in langs)
@@ -111,7 +121,7 @@ def curate_fuzzy_sql(
 WITH keep AS (
     SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
-clusters AS ({dedup.dup_clusters_sql()}),
+clusters AS ({dedup.dup_clusters_sql(verify_threshold)}),
 fuzzy_drop AS (
     SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
 ),

