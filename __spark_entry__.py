@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from glug_spark import corpus
 from glug_spark.index import build as ib
-from glug_spark.query import bm25
+from glug_spark.query import bm25, snippet
 from glug_spark.operators import (
     dedup,
     multimodal,
@@ -156,14 +156,15 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
 
 def _q_index_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end index path: encoded posting lists → MaxScore top-k,
-    with the result-URL join-back (docmap side table, broadcast k-row
-    lookup — merged row: rank identity AND url correctness). Oracle =
-    the same SQL as bm25_or joined to documents.source."""
+    with the result join-back (docmap/doc-store side table, broadcast
+    k-row lookup — merged row: rank identity AND url AND snippet
+    correctness). Oracle = the same SQL as bm25_or joined to documents,
+    snippet = the closed-form match-window rule on documents.text."""
     from glug_spark.query.searcher import Searcher
 
     with Searcher(spark, _index_dir(spark, sf_dir), n_buckets=8,
                   persist=False) as s:
-        return s.topk(Q_OR, k=100, with_urls=True)
+        return s.topk(Q_OR, k=100, with_urls=True, with_snippets=True)
 
 
 def _q_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,7 +607,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_negated": bm25.bm25_negated_topk_sql(Q_NEG[0], Q_NEG[1], k=10),
         "search_mixed": _search_mixed_oracle(),
         "index_wand_topk": (
-            f"SELECT o.*, d.source AS url "
+            f"SELECT o.*, d.source AS url, "
+            f"{snippet.snippet_sql(Q_OR, 'd.text')} AS snippet "
             f"FROM ({bm25.bm25_topk_sql(Q_OR, k=100)}) o "
             f"JOIN documents d USING (doc_id)"
         ),

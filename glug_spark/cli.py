@@ -80,6 +80,11 @@ def main(argv: list[str] | None = None) -> int:
         help="append each hit's url from the index docmap "
              "(pruned k-row lookup, no corpus scan)",
     )
+    q.add_argument(
+        "--snippets", action="store_true",
+        help="append a match-window snippet from the index doc store "
+             "(implies --urls; pruned k-row lookup, no corpus scan)",
+    )
 
     qm = sub.add_parser(
         "query-many",
@@ -181,18 +186,22 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(summary))
         elif args.command == "query":
-            if args.urls:
+            if args.urls or args.snippets:
                 from glug_spark.query.searcher import Searcher
 
                 with Searcher(spark, args.index, n_buckets=args.buckets,
                               persist=False) as s:
                     rows = (
-                        s.search(args.query, k=args.k, with_urls=True)
+                        s.search(args.query, k=args.k, with_urls=True,
+                                 with_snippets=args.snippets)
                         .orderBy("rank").collect()
                     )
                 for r in rows:
-                    print(f"{r['rank']}\t{r['doc_id']}\t{r['score']}"
-                          f"\t{r['url']}")
+                    line = (f"{r['rank']}\t{r['doc_id']}\t{r['score']}"
+                            f"\t{r['url']}")
+                    if args.snippets:
+                        line += f"\t{r['snippet']}"
+                    print(line)
             else:
                 from glug_spark.query.execute import search_indexed
 

@@ -74,7 +74,7 @@ ENCODED_SCHEMA = T.StructType([
 #: a previous attempt whose split planning differed
 ATTEMPT_SPAN = 10_000_000_000
 
-#: docmap/ layout: (doc_id, url) partitioned by doc_bucket =
+#: docmap/ layout: (doc_id, url, text) partitioned by doc_bucket =
 #: doc_id % N_DOC_BUCKETS, one sub-tree per source batch (sb=-1 is the
 #: batch build; stream ingest writes sb=<batch_id>, idempotently
 #: overwritable per batch). A k-row result joined on
@@ -94,10 +94,14 @@ def doc_bucket_col(n_doc_buckets: int = N_DOC_BUCKETS) -> F.Column:
 
 def write_docmap(docs: "DataFrame", out_dir: str, sb: int,
                  n_doc_buckets: int = N_DOC_BUCKETS) -> None:
-    """(doc_id, url) for one source batch → docmap/sb=<sb>/doc_bucket=*.
+    """(doc_id, url, text) for one source batch →
+    docmap/sb=<sb>/doc_bucket=*.
 
     ``url`` is the corpus's ``source`` column (the synthetic stand-in
-    for a crawl URL); absent → NULL. mode=overwrite per sb sub-tree
+    for a crawl URL); absent → NULL. ``text`` makes the map a forward
+    doc STORE (Lucene stored-fields analog) so result snippets are a
+    pruned k-row lookup too; parquet column pruning means url-only
+    lookups never read the text bytes. mode=overwrite per sb sub-tree
     makes stream-batch replays idempotent (no duplicate map rows)."""
     import shutil as _shutil
 
@@ -105,17 +109,21 @@ def write_docmap(docs: "DataFrame", out_dir: str, sb: int,
         F.col("source").cast("string") if "source" in docs.columns
         else F.lit(None).cast("string")
     )
+    text = (
+        F.col("text").cast("string") if "text" in docs.columns
+        else F.lit(None).cast("string")
+    )
     path = os.path.join(out_dir, DOCMAP_DIR, f"sb={int(sb)}")
     if os.path.exists(path):
         _shutil.rmtree(path)
     (
         docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                    url.alias("url"))
+                    url.alias("url"), text.alias("text"))
         .withColumn("doc_bucket", doc_bucket_col(n_doc_buckets))
         # co-locate each bucket before the dynamic-partition write:
         # without it every task fans out one file per bucket it sees
         # (tasks × n_doc_buckets small files — measured 40 s of the 2M
-        # build); after the (tiny, 2-narrow-column) shuffle each bucket
+        # build); after the shuffle each bucket
         # directory holds one file, which is also the layout the
         # pruned k-row lookup wants to read
         .repartition(n_doc_buckets, F.col("doc_bucket"))
@@ -126,8 +134,9 @@ def write_docmap(docs: "DataFrame", out_dir: str, sb: int,
 
 
 def read_docmap(spark: SparkSession, index_dir: str) -> "DataFrame | None":
-    """The (doc_id, url, doc_bucket, sb) map, or None if absent
-    (pre-docmap index)."""
+    """The (doc_id, url, text, doc_bucket, sb) map, or None if absent
+    (pre-docmap index). Pre-doc-store maps lack the text column —
+    readers must tolerate its absence."""
     path = os.path.join(index_dir, DOCMAP_DIR)
     if not os.path.exists(path):
         return None
@@ -366,8 +375,8 @@ def build_index(
         .parquet(os.path.join(out_dir, "postings"))
     )
 
-    # --- docmap: result-URL join-back side table (narrow 2-col scan,
-    # doc_id-bucketed so a k-row lookup prunes to ≤k partitions) -------
+    # --- docmap: result join-back side table / forward doc store
+    # (doc_id-bucketed so a k-row lookup prunes to ≤k partitions) ------
     write_docmap(docs, out_dir, sb=-1)
 
     # --- stats + manifest from the encoded index (no corpus re-scan) ----

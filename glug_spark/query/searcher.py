@@ -75,17 +75,23 @@ class Searcher:
             "grp", F.coalesce("grp", F.col("segment"))
         )
 
-    def attach_urls(self, results: DataFrame) -> DataFrame:
-        """Join each result row's ``url`` from the index's docmap side
-        table — a k-row lookup, never a corpus scan: the (tiny) result
-        set is broadcast onto the doc_id-bucketed map and the join key
-        includes the partition column ``doc_bucket``, so the scan
-        prunes to at most k of the map's partition directories
-        (dynamic partition pruning; plan-asserted in tests)."""
+    def attach_urls(self, results: DataFrame,
+                    snippet_terms: list[str] | None = None) -> DataFrame:
+        """Join each result row's ``url`` (and, with ``snippet_terms``,
+        a ``snippet``) from the index's docmap side table — a k-row
+        lookup, never a corpus scan: the (tiny) result set is broadcast
+        onto the doc_id-bucketed map and the join key includes the
+        partition column ``doc_bucket``, so the scan prunes to at most
+        k of the map's partition directories (dynamic partition
+        pruning; plan-asserted in tests). The snippet is the
+        deterministic match window of query.snippet computed on the doc
+        store's ``text`` column — read only for the pruned buckets, and
+        not read at all for url-only lookups (parquet column pruning)."""
         from glug_spark.index.pipeline import (
             docmap_n_buckets,
             read_docmap,
         )
+        from glug_spark.query.snippet import snippet_col
 
         dm = read_docmap(self.spark, self.index_dir)
         if dm is None:
@@ -100,17 +106,31 @@ class Searcher:
             F.pmod(F.col("doc_id"), F.lit(n)).cast("int"),
         )
         out_cols = [c for c in results.columns]
+        side: list[F.Column] = [F.col("url")]
+        dm_cols = ["doc_bucket", "doc_id", "url"]
+        if snippet_terms is not None:
+            if "text" not in dm.columns:
+                raise FileNotFoundError(
+                    f"{self.index_dir}/docmap has no text column — the "
+                    "index predates the doc store; rebuild to use "
+                    "with_snippets"
+                )
+            dm_cols.append("text")
+            side.append(
+                snippet_col(snippet_terms, F.col("text")).alias("snippet")
+            )
         return (
-            dm.select("doc_bucket", "doc_id", "url")
+            dm.select(*dm_cols)
             .join(F.broadcast(res), ["doc_bucket", "doc_id"])
-            .select(*out_cols, "url")
+            .select(*out_cols, *side)
         )
 
     # --- queries ----------------------------------------------------------
 
     def topk(self, terms: list[str], k: int = 10,
              conjunctive: bool = False,
-             with_urls: bool = False) -> DataFrame:
+             with_urls: bool = False,
+             with_snippets: bool = False) -> DataFrame:
         """Rank-identical to wand.wand_topk over the same index.
 
         Single Spark job: idf rides a broadcast stats join instead of a
@@ -137,7 +157,11 @@ class Searcher:
             lambda pdf: scorer(pdf), schema=wand._SCORE_SCHEMA
         )
         out = wand._ranked_bounded(per_group, k)
-        return self.attach_urls(out) if with_urls else out
+        if with_urls or with_snippets:
+            return self.attach_urls(
+                out, snippet_terms=uniq if with_snippets else None
+            )
+        return out
 
     def topk_many(self, queries: dict[str, list[str]], k: int = 10) -> DataFrame:
         """MANY disjunctive top-k queries in ONE Spark job:
@@ -234,8 +258,13 @@ class Searcher:
         return self.composed_topk(groups=[[("glob", glob)]], k=k)
 
     def search(self, query: str, k: int = 10,
-               with_urls: bool = False) -> DataFrame:
-        """glug-dialect query string → exact top-k (see execute.search)."""
+               with_urls: bool = False,
+               with_snippets: bool = False) -> DataFrame:
+        """glug-dialect query string → exact top-k (see execute.search).
+
+        Snippets use the query's literal positive terms plus its phrase
+        words (a glob's matched vocabulary is per-doc, so glob-only
+        queries yield NULL snippets by the closed-form rule)."""
         plan = parse_query(query)
         if not plan.groups and not plan.phrases:
             raise ValueError(f"query has no positive constraint: {query!r}")
@@ -243,7 +272,15 @@ class Searcher:
             groups=plan.groups, negations=plan.negations,
             phrases=plan.phrases, k=k,
         )
-        return self.attach_urls(out) if with_urls else out
+        if with_urls or with_snippets:
+            terms = None
+            if with_snippets:
+                terms = list(dict.fromkeys(
+                    plan.positive_terms
+                    + [w for p in plan.phrases for w in p]
+                ))
+            return self.attach_urls(out, snippet_terms=terms)
+        return out
 
     def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         """MANY glug-dialect query strings in ONE Spark job:

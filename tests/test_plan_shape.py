@@ -117,14 +117,28 @@ def test_with_urls_broadcasts_results_and_prunes_docmap(spark, tmp_path):
     build_index(spark, SF_DIR, d, n_buckets=8)
     with Searcher(spark, d, n_buckets=8, persist=False) as s:
         plan = _formatted(s.topk(["data", "join"], k=10, with_urls=True))
-    m = re.search(
-        r"Location: InMemoryFileIndex \[[^\]]*docmap\]\n"
-        r"PartitionFilters: \[[^\n]*dynamicpruningexpression\("
-        r"doc_bucket#\d+ IN dynamicpruning", plan
+        snip_plan = _formatted(
+            s.topk(["data", "join"], k=10, with_snippets=True)
+        )
+    for p in (plan, snip_plan):
+        m = re.search(
+            r"Location: InMemoryFileIndex \[[^\]]*docmap\]\n"
+            r"PartitionFilters: \[[^\n]*dynamicpruningexpression\("
+            r"doc_bucket#\d+ IN dynamicpruning", p
+        )
+        assert m, p
+        assert "BroadcastHashJoin" in p, p
+        assert "SortMergeJoin" not in p, p
+    # url-only lookups must not pay for the doc store's text bytes:
+    # the docmap scan's ReadSchema prunes the text column
+    schema_re = (
+        r"Location: InMemoryFileIndex \[[^\]]*docmap\]"
+        r"(?:\n[^\n]+)*?\nReadSchema: (\S+)"
     )
-    assert m, plan
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    docmap_schema = re.search(schema_re, plan)
+    assert docmap_schema and "text" not in docmap_schema.group(1), plan
+    snip_schema = re.search(schema_re, snip_plan)
+    assert snip_schema and "text" in snip_schema.group(1), snip_plan
 
 
 def test_hybrid_rerank_broadcasts_candidates(spark):

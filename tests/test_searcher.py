@@ -8,6 +8,7 @@ import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from glug_spark.index.compact import compact_index
 from glug_spark.index.pipeline import build_index
@@ -166,6 +167,76 @@ def test_topk_with_urls_matches_corpus_join(spark, searcher):
         {(r["rank"], r["doc_id"]) for r in s_withu.collect()}
         == {(r["rank"], r["doc_id"]) for r in base.collect()}
     )
+
+
+def test_topk_with_snippets_matches_rule(spark, searcher):
+    """with_snippets appends the closed-form match-window snippet
+    computed from the doc text; parity-checked against a direct
+    corpus-side evaluation of the same rule AND the DuckDB SQL twin."""
+    import duckdb
+
+    from glug_spark.query.snippet import snippet_col, snippet_sql
+
+    terms = ["data", "join"]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = searcher.topk(terms, k=10, with_urls=True, with_snippets=True)
+    assert got.columns == ["rank", "doc_id", "score", "url", "snippet"]
+    rows = got.collect()
+    want = {
+        r["doc_id"]: r["snippet"]
+        for r in docs.select(
+            "doc_id", snippet_col(terms, F.col("text")).alias("snippet")
+        ).collect()
+    }
+    assert rows and all(r["snippet"] == want[r["doc_id"]] for r in rows)
+    # every snippet contains a query term (both occur in this corpus)
+    assert all(
+        any(t in r["snippet"] for t in terms) for r in rows
+    )
+    # DuckDB oracle twin computes the identical snippet per doc
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    oracle = dict(con.execute(
+        f"SELECT doc_id, {snippet_sql(terms, 'text')} FROM documents"
+    ).fetchall())
+    assert all(r["snippet"] == oracle[r["doc_id"]] for r in rows)
+
+
+def test_snippet_rule_edges(spark):
+    """Window clamps at text start; absent terms yield NULL; the
+    earliest occurrence across terms wins."""
+    from glug_spark.query.snippet import (
+        SNIPPET_BEFORE,
+        SNIPPET_LEN,
+        snippet_col,
+    )
+
+    pad = "x" * 200
+    rows = [
+        (0, "needle at start " + pad),        # clamp: window from char 1
+        (1, pad + " needle late"),            # mid-text window
+        (2, pad),                             # no match -> NULL
+        (3, "b early then a " + pad + " a"),  # 'b' earlier than 'a'
+        (4, ""),                              # empty text -> NULL
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", snippet_col(["needle", "a", "b"], F.col("text")).alias("s")
+        ).collect()
+    }
+    assert got[0] == rows[0][1][:SNIPPET_LEN]          # clamped to start
+    first = rows[1][1].index("needle") + 1
+    start = first - SNIPPET_BEFORE - 1
+    assert got[1] == rows[1][1][start:start + SNIPPET_LEN]
+    assert got[2] is None
+    # 'b' at pos 1 wins over 'a' even though 'a' is also a query term
+    assert got[3] == rows[3][1][:SNIPPET_LEN]
+    assert got[4] is None
 
 
 def test_with_urls_covers_stream_ingested_docs(spark, tmp_path):
