@@ -36,6 +36,7 @@ Q_AND = ["data", "join"]
 Q_OR = ["table", "scan", "merge"]
 Q_GLOB = "dat*"
 Q_PHRASE = ["table", "scan"]
+Q_NEAR = ("table", "merge", 3)  # (term_a, term_b, slop), unordered
 Q_NEG = (["data"], ["join"])
 SELECT_EXPR = "*.html,*.md,-doc1*.html"
 TYPETAG_EXPR = "#cpp,-#hpp"
@@ -98,7 +99,19 @@ def _q_bm25_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bm25.phrase_docs(_docs(spark, sf_dir), Q_PHRASE)
+    """Position-list matching, full-scan path — merged row: variant
+    'phrase' is the exact adjacent phrase, variant 'near' the proximity
+    (NEAR/slop) query (both SURVEY §2.3 position-resolved operators)."""
+    docs = _docs(spark, sf_dir)
+    a, b, slop = Q_NEAR
+    return (
+        bm25.phrase_docs(docs, Q_PHRASE)
+        .withColumn("variant", F.lit("phrase"))
+        .unionByName(
+            bm25.near_docs(docs, a, b, slop=slop)
+            .withColumn("variant", F.lit("near"))
+        )
+    )
 
 
 def _paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,10 +181,20 @@ def _q_index_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-list matching from the ENCODED index (block-selective
+    position decode) — merged row: variants 'phrase' and 'near', each
+    identical to the full-scan path's output."""
     from glug_spark.query import wand
 
-    return wand.phrase_docs_indexed(
-        spark, _index_dir(spark, sf_dir), Q_PHRASE, n_buckets=8
+    idx = _index_dir(spark, sf_dir)
+    a, b, slop = Q_NEAR
+    return (
+        wand.phrase_docs_indexed(spark, idx, Q_PHRASE, n_buckets=8)
+        .withColumn("variant", F.lit("phrase"))
+        .unionByName(
+            wand.near_docs_indexed(spark, idx, a, b, slop=slop, n_buckets=8)
+            .withColumn("variant", F.lit("near"))
+        )
     )
 
 
@@ -571,6 +594,16 @@ WHERE ({decision}) <> 'excluded'
 """
 
 
+def _phrase_near_oracle() -> str:
+    a, b, slop = Q_NEAR
+    return (
+        f"SELECT doc_id, 'phrase' AS variant "
+        f"FROM ({bm25.phrase_docs_sql(Q_PHRASE)}) "
+        f"UNION ALL SELECT doc_id, 'near' AS variant "
+        f"FROM ({bm25.near_docs_sql(a, b, slop=slop)})"
+    )
+
+
 EXTRACT_ROUNDTRIP_SQL = f"""
 WITH w AS ({corpus.WEBTEXT_SQL})
 SELECT doc_id,
@@ -603,7 +636,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and": bm25.bm25_topk_sql(Q_AND, k=10, conjunctive=True),
         "bm25_or": bm25.bm25_topk_sql(Q_OR, k=100),
         "bm25_glob": bm25.bm25_glob_topk_sql(Q_GLOB, k=10),
-        "phrase_match": bm25.phrase_docs_sql(Q_PHRASE),
+        "phrase_match": _phrase_near_oracle(),
         "bm25_negated": bm25.bm25_negated_topk_sql(Q_NEG[0], Q_NEG[1], k=10),
         "search_mixed": _search_mixed_oracle(),
         "index_wand_topk": (
@@ -612,7 +645,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({bm25.bm25_topk_sql(Q_OR, k=100)}) o "
             f"JOIN documents d USING (doc_id)"
         ),
-        "index_phrase": bm25.phrase_docs_sql(Q_PHRASE),
+        "index_phrase": _phrase_near_oracle(),
         "index_glob": bm25.bm25_glob_topk_sql(Q_GLOB, k=10),
         "search_mixed_indexed": _search_mixed_oracle(),
         "searcher_topk_many": _topk_many_oracle(),

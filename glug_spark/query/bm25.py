@@ -314,6 +314,55 @@ def phrase_docs(docs: DataFrame, phrase: list[str]) -> DataFrame:
     return base.select("doc_id").distinct().orderBy("doc_id")
 
 
+def near_docs(docs: DataFrame, term_a: str, term_b: str, slop: int = 3,
+              ordered: bool = False) -> DataFrame:
+    """doc_ids where ``term_b`` occurs within ``slop`` token positions
+    of ``term_a`` (proximity / NEAR query; grep-adjacent semantics the
+    reference expresses as same-line co-occurrence, generalized to a
+    token window).
+
+    ``ordered=False`` (default): any order, 1 ≤ |pos_b − pos_a| ≤ slop.
+    ``ordered=True``: b strictly after a, 1 ≤ pos_b − pos_a ≤ slop —
+    so ``slop=1`` degenerates to the two-word exact phrase.
+
+    Scale shape: both sides are the token stream FILTERED to one query
+    term before the join (predicate pushes to the scan), so the
+    self-join touches posting-sized, not corpus-sized, inputs and
+    shuffles on doc_id (unskewed). The index path
+    (query.wand.near_docs_indexed) answers the same query from encoded
+    position lists without re-tokenizing.
+    """
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(token_array()).alias("pos", "term"),
+    )
+    ta = toks.where(F.col("term") == term_a).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    tb = toks.where(F.col("term") == term_b).select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb")
+    )
+    delta = tb["pb"] - ta["pa"]
+    gap = delta if ordered else F.abs(delta)
+    cond = (ta["doc_id"] == tb["db"]) & (gap >= 1) & (gap <= slop)
+    return (
+        ta.join(tb, cond).select("doc_id").distinct().orderBy("doc_id")
+    )
+
+
+def near_docs_sql(term_a: str, term_b: str, slop: int = 3,
+                  ordered: bool = False) -> str:
+    gap = "(b.pos - a.pos)" if ordered else "abs(b.pos - a.pos)"
+    return f"""
+WITH toks AS ({TOKENS_SQL})
+SELECT DISTINCT a.doc_id
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id
+WHERE a.term = {_sql_quote(term_a)} AND b.term = {_sql_quote(term_b)}
+  AND {gap} BETWEEN 1 AND {int(slop)}
+ORDER BY a.doc_id
+"""
+
+
 def phrase_docs_sql(phrase: list[str]) -> str:
     joins = []
     conds = [f"t0.term = {_sql_quote(phrase[0])}"]

@@ -404,3 +404,29 @@ class Searcher:
             schema=T.StructType([T.StructField("doc_id", T.LongType())]),
         )
         return matched.orderBy("doc_id")
+
+    def near_docs(self, term_a: str, term_b: str, slop: int = 3,
+                  ordered: bool = False) -> DataFrame:
+        """Proximity (NEAR) match over the pinned postings — same
+        output as wand.near_docs_indexed on this index."""
+        uniq = list(dict.fromkeys([term_a, term_b]))
+        buckets = sorted({python_bucket(t, self.n_buckets) for t in uniq})
+        rows = self._with_grp(
+            self.postings
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+            .drop("bucket")
+        )
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            hits = wand._near_hits_segment(pdf, term_a, term_b, slop,
+                                           ordered)
+            return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
+
+        matched = rows.groupBy("grp").applyInPandas(
+            match_segment,
+            schema=T.StructType([T.StructField("doc_id", T.LongType())]),
+        )
+        return matched.orderBy("doc_id")

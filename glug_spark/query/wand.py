@@ -857,3 +857,96 @@ def phrase_docs_indexed(
         match_segment, schema=T.StructType([T.StructField("doc_id", T.LongType())])
     )
     return matched.orderBy("doc_id")
+
+
+def _near_doc_ids(per_word: dict[str, dict], term_a: str, term_b: str,
+                  slop: int, ordered: bool) -> np.ndarray:
+    """doc_ids where b occurs within ``slop`` positions of a — the
+    proximity analog of :func:`_phrase_doc_ids`, fully vectorized.
+
+    Same uint64 (dense doc index << 32 | position) key trick: a's
+    positions form the key set; b contributes one shifted key set per
+    admissible offset d (pos_b − d), so a match is a nonempty key
+    intersection. 2·slop (or slop, ordered) shifted sets — slop is
+    small, so this stays O(postings · slop) with no per-doc loop."""
+    cand = per_word[term_a]["ids"]
+    cand = cand[np.isin(cand, per_word[term_b]["ids"], assume_unique=True)]
+    if not len(cand):
+        return cand
+
+    def keys(term: str, delta: int) -> np.ndarray:
+        # key = docidx << 32 | (pos − delta + slop + 1); the constant
+        # slop+1 keeps the low word positive (delta ≤ slop), so the
+        # addend slop+1−delta ≥ 1 and uint64 math never wraps
+        ids, plists = per_word[term]["ids"], per_word[term]["plists"]
+        sel = np.searchsorted(ids, cand)
+        lens = np.fromiter((len(plists[j]) for j in sel), dtype=np.int64,
+                           count=len(sel))
+        if not lens.sum():
+            return np.zeros(0, dtype=np.uint64)
+        flat = np.concatenate([plists[j] for j in sel]).astype(np.uint64)
+        docidx = np.repeat(np.arange(len(cand), dtype=np.uint64), lens)
+        return (docidx << np.uint64(32)) | (
+            flat + np.uint64(slop + 1 - delta)
+        )
+
+    deltas = (
+        range(1, slop + 1) if ordered
+        else [d for d in range(-slop, slop + 1) if d != 0]
+    )
+    ka = np.unique(keys(term_a, 0))
+    kb = np.unique(np.concatenate([keys(term_b, d) for d in deltas]))
+    surv = np.intersect1d(ka, kb, assume_unique=True)
+    return cand[np.unique((surv >> np.uint64(32)).astype(np.int64))]
+
+
+def _near_hits_segment(pdf: pd.DataFrame, term_a: str, term_b: str,
+                       slop: int, ordered: bool) -> np.ndarray:
+    """doc_ids of one scoring group matching the proximity query —
+    same two-phase shape as :func:`_phrase_hits_segment`: full doc-id
+    stream decode to intersect candidates, then block-selective
+    POSITION decode covering only those candidates."""
+    rows_by_word = {t: g for t, g in pdf.groupby("term", sort=False)}
+    if term_a not in rows_by_word or term_b not in rows_by_word:
+        return np.zeros(0, np.int64)
+    full = {w: _decode_full(rows_by_word[w]) for w in {term_a, term_b}}
+    cand = full[term_a]["ids"]
+    cand = cand[np.isin(cand, full[term_b]["ids"], assume_unique=True)]
+    if not len(cand):
+        return cand
+    per_word = {
+        w: _decode_positions_covering(rows_by_word[w], cand)
+        for w in {term_a, term_b}
+    }
+    return _near_doc_ids(per_word, term_a, term_b, slop, ordered)
+
+
+def near_docs_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+    ordered: bool = False,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Proximity (NEAR) match from position lists — doc_ids where
+    ``term_b`` occurs within ``slop`` tokens of ``term_a``; identical
+    output to query.bm25.near_docs over the same corpus."""
+    uniq = list(dict.fromkeys([term_a, term_b]))
+    buckets = sorted(set(_term_buckets(spark, uniq, n_buckets).values()))
+    rows = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+        .drop("bucket")
+    )
+    rows = with_scoring_group(spark, index_dir, rows)
+
+    def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        hits = _near_hits_segment(pdf, term_a, term_b, slop, ordered)
+        return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
+
+    matched = rows.groupBy("grp").applyInPandas(
+        match_segment, schema=T.StructType([T.StructField("doc_id", T.LongType())])
+    )
+    return matched.orderBy("doc_id")

@@ -73,6 +73,83 @@ def test_phrase_rank_identical(spark, index_dir, phrase):
     assert actual == expected
 
 
+@pytest.mark.parametrize(
+    "a,b,slop,ordered",
+    [
+        ("table", "merge", 3, False),
+        ("table", "merge", 3, True),
+        ("data", "join", 2, False),
+        ("the", "the", 2, False),      # same-term proximity (repeats)
+        ("table", "scan", 5, True),
+        ("no", "match", 3, False),     # term absent from vocabulary
+    ],
+)
+def test_near_identical_to_full_scan(spark, index_dir, a, b, slop, ordered):
+    """Proximity (NEAR) from encoded position lists must equal the
+    declarative full-scan plan for every (order, slop) shape."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expected = [
+        r["doc_id"]
+        for r in bm25.near_docs(docs, a, b, slop=slop, ordered=ordered).collect()
+    ]
+    actual = [
+        r["doc_id"]
+        for r in wand.near_docs_indexed(
+            spark, index_dir, a, b, slop=slop, ordered=ordered, n_buckets=8
+        ).collect()
+    ]
+    assert actual == expected
+
+
+def test_near_ordered_slop1_equals_phrase(spark, index_dir):
+    """ordered slop=1 proximity degenerates to the exact two-word
+    phrase — both paths."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    phrase = [r["doc_id"]
+              for r in bm25.phrase_docs(docs, ["table", "scan"]).collect()]
+    near_scan = [
+        r["doc_id"]
+        for r in bm25.near_docs(docs, "table", "scan", slop=1,
+                                ordered=True).collect()
+    ]
+    near_idx = [
+        r["doc_id"]
+        for r in wand.near_docs_indexed(spark, index_dir, "table", "scan",
+                                        slop=1, ordered=True,
+                                        n_buckets=8).collect()
+    ]
+    assert near_scan == phrase
+    assert near_idx == phrase
+
+
+def test_near_python_reference(spark, index_dir):
+    """Differential vs a direct per-doc Python evaluation of the NEAR
+    definition on tokenized text (independent of both Spark plans)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from glug_spark.semantics.tokenize import tokenize
+
+    a, b, slop = "table", "merge", 3
+    expected = []
+    for r in docs.select("doc_id", "text").orderBy("doc_id").collect():
+        toks = tokenize(r["text"])
+        pa = [i for i, t in enumerate(toks) if t == a]
+        pb = {i for i, t in enumerate(toks) if t == b}
+        if any(
+            (i + d) in pb
+            for i in pa
+            for d in range(-slop, slop + 1)
+            if d != 0
+        ):
+            expected.append(r["doc_id"])
+    actual = [
+        r["doc_id"]
+        for r in wand.near_docs_indexed(
+            spark, index_dir, a, b, slop=slop, n_buckets=8
+        ).collect()
+    ]
+    assert actual == expected
+
+
 def test_resume_after_interruption(spark):
     """Simulate a build killed mid-flight: one segment's output and
     manifest row are missing. Resume must (a) skip completed segments,

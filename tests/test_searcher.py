@@ -71,6 +71,23 @@ def test_searcher_phrase_identical(spark, searcher):
     assert got == expected
 
 
+def test_searcher_near_identical(spark, searcher):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for a, b, slop, ordered in [("table", "merge", 3, False),
+                                ("data", "join", 2, True)]:
+        expected = [
+            r["doc_id"]
+            for r in bm25.near_docs(docs, a, b, slop=slop,
+                                    ordered=ordered).collect()
+        ]
+        got = [
+            r["doc_id"]
+            for r in searcher.near_docs(a, b, slop=slop,
+                                        ordered=ordered).collect()
+        ]
+        assert got == expected, (a, b, slop, ordered)
+
+
 def test_topk_many_matches_individual(spark, searcher):
     queries = {
         "q1": ["data"],
