@@ -37,10 +37,11 @@ def _match_predicate(members: list[tuple[str, str]]) -> F.Column:
 def search(docs: DataFrame, query: str, k: int = 10) -> DataFrame:
     """Top-k (rank, doc_id, score) for a glug-dialect query string."""
     plan = parse_query(query)
-    # phrase words score like plain terms (the phrase itself is a filter)
+    # phrase/near words score like plain terms (the position constraint
+    # itself is a filter)
     all_positive = [m for grp in plan.groups for m in grp] + [
         ("term", w) for phrase in plan.phrases for w in phrase
-    ]
+    ] + [("term", w) for w in plan.near_words]
     if not all_positive:
         raise ValueError(f"query has no positive constraint: {query!r}")
 
@@ -68,6 +69,12 @@ def search(docs: DataFrame, query: str, k: int = 10) -> DataFrame:
             bm25.phrase_docs(docs, phrase), "doc_id", "left_semi"
         )
 
+    for a, b, slop, ordered in plan.nears:
+        per_doc = per_doc.join(
+            bm25.near_docs(docs, a, b, slop=slop, ordered=ordered),
+            "doc_id", "left_semi",
+        )
+
     return bm25._ranked_topk(per_doc, k)
 
 
@@ -90,12 +97,13 @@ def search_indexed(spark: SparkSession, index_dir: str, query: str,
     from glug_spark.query.parser import parse_query
 
     plan = parse_query(query)
-    if not plan.groups and not plan.phrases:
+    if not plan.groups and not plan.phrases and not plan.nears:
         raise ValueError(f"query has no positive constraint: {query!r}")
     return wand.composed_topk(
         spark, index_dir,
         groups=plan.groups,
         negations=plan.negations,
         phrases=plan.phrases,
+        nears=plan.nears,
         k=k, n_buckets=n_buckets,
     )

@@ -60,13 +60,23 @@ def _phrase_cte(name: str, words: list[str]) -> str:
     )
 
 
+def _near_cte(name: str, a: str, b: str, slop: int, ordered: bool) -> str:
+    gap = "(t1.pos - t0.pos)" if ordered else "abs(t1.pos - t0.pos)"
+    return (
+        f"{name} AS (SELECT DISTINCT t0.doc_id FROM toks t0 "
+        f"JOIN toks t1 ON t1.doc_id = t0.doc_id "
+        f"WHERE t0.term = {_quote(a)} AND t1.term = {_quote(b)} "
+        f"AND {gap} BETWEEN 1 AND {int(slop)})"
+    )
+
+
 def composed_oracle_sql(query: str | QueryPlan, k: int = 10) -> str:
     """Oracle for one composed query: (rank, doc_id, score) top-k."""
     plan = parse_query(query) if isinstance(query, str) else query
     phrase_words = [w for ph in plan.phrases for w in ph]
     all_positive = [m for g in plan.groups for m in g] + [
         ("term", w) for w in phrase_words
-    ]
+    ] + [("term", w) for w in plan.near_words]
     if not all_positive:
         raise ValueError("composed query has no positive constraint")
 
@@ -94,6 +104,9 @@ def composed_oracle_sql(query: str | QueryPlan, k: int = 10) -> str:
     for j, ph in enumerate(plan.phrases):
         ctes.append(_phrase_cte(f"ph{j}", ph))
         filters.append(f"p.doc_id IN (SELECT doc_id FROM ph{j})")
+    for j, (a, b, slop, ordered) in enumerate(plan.nears):
+        ctes.append(_near_cte(f"nr{j}", a, b, slop, ordered))
+        filters.append(f"p.doc_id IN (SELECT doc_id FROM nr{j})")
     where = ("WHERE " + " AND ".join(filters)) if filters else ""
 
     ctes.append(f"""per_doc AS (

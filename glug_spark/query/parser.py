@@ -6,6 +6,8 @@ adds the full-text constructs the index engine answers:
 
     data join           → AND of terms (glug: all filters must admit)
     "table scan"        → exact phrase (adjacent token positions)
+    "table merge"~3     → proximity: terms within 3 positions, any order
+    "table merge"~>3    → ordered proximity: 2nd term after 1st, ≤3 away
     dat*                → glob token pattern (whole-token match)
     -noise              → negated term (select-dialect '-' inversion)
     #cpp                → typetag (expands to glob patterns)
@@ -39,10 +41,20 @@ class QueryPlan:
     groups: list[list[tuple[str, str]]] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
     negations: list[tuple[str, str]] = field(default_factory=list)
+    #: proximity constraints: (term_a, term_b, slop, ordered) — b within
+    #: slop positions of a ('"a b"~3'); ordered = b strictly after a
+    #: ('"a b"~>3'). AND-ed like phrases; words score like phrase words.
+    nears: list[tuple[str, str, int, bool]] = field(default_factory=list)
 
     @property
     def positive_terms(self) -> list[str]:
         return [v for g in self.groups for k, v in g if k == "term"]
+
+    @property
+    def near_words(self) -> list[str]:
+        return list(dict.fromkeys(
+            w for a, b, _, _ in self.nears for w in (a, b)
+        ))
 
     @property
     def positive_globs(self) -> list[str]:
@@ -60,28 +72,46 @@ def parse_query(
     db = tags or TypetagDatabase()
     plan = QueryPlan()
 
-    # extract quoted phrases first (not part of the reference dialect —
-    # the full-text extension)
+    # extract quoted phrases / proximity constraints first (not part of
+    # the reference dialect — the full-text extension). A closing quote
+    # may carry a slop suffix: "a b"~3 (unordered) / "a b"~>3 (ordered).
+    import re as _re
+
     rest: list[str] = []
     i = 0
-    current: list[str] = []
-    in_quote = False
-    for ch in query:
-        if ch == '"':
-            if in_quote:
-                phrase = "".join(current).split()
-                if phrase:
-                    plan.phrases.append(phrase)
-                current = []
-            in_quote = not in_quote
+    n = len(query)
+    while i < n:
+        ch = query[i]
+        if ch != '"':
+            rest.append(ch)
+            i += 1
             continue
-        (current if in_quote else rest).append(ch)
-    if in_quote and current:
-        # unclosed quote: treat the buffered tail as a phrase rather than
-        # silently dropping it ('foo "bar baz' keeps bar baz)
-        phrase = "".join(current).split()
-        if phrase:
-            plan.phrases.append(phrase)
+        j = query.find('"', i + 1)
+        if j == -1:
+            # unclosed quote: treat the buffered tail as a phrase rather
+            # than silently dropping it ('foo "bar baz' keeps bar baz)
+            words = query[i + 1:].split()
+            if words:
+                plan.phrases.append(words)
+            break
+        words = query[i + 1:j].split()
+        i = j + 1
+        m = _re.match(r"~(>?)(\d+)", query[i:])
+        if m is not None:
+            i += m.end()
+            if not words:
+                continue
+            if len(words) != 2:
+                raise ValueError(
+                    f"proximity query needs exactly 2 terms, got "
+                    f"{len(words)}: {' '.join(words)!r}"
+                )
+            slop = int(m.group(2))
+            if slop < 1:
+                raise ValueError(f"proximity slop must be >= 1: ~{slop}")
+            plan.nears.append((words[0], words[1], slop, bool(m.group(1))))
+        elif words:
+            plan.phrases.append(words)
     conjuncts = "".join(rest).split()
 
     for conjunct in conjuncts:

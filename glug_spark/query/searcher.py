@@ -240,18 +240,25 @@ class Searcher:
     def composed_topk(self, groups: list[list[tuple[str, str]]],
                       negations: list[tuple[str, str]] | None = None,
                       phrases: list[list[str]] | None = None,
-                      k: int = 10) -> DataFrame:
+                      k: int = 10,
+                      nears: list[tuple[str, str, int, bool]] | None = None,
+                      ) -> DataFrame:
         negations = negations or []
         phrases = phrases or []
-        phrase_words = list(dict.fromkeys(w for ph in phrases for w in ph))
-        if not groups and not phrase_words:
+        nears = nears or []
+        pos_words = list(dict.fromkeys(
+            [w for ph in phrases for w in ph]
+            + [w for a, b, _, _ in nears for w in (a, b)]
+        ))
+        if not groups and not pos_words:
             raise ValueError("composed query has no positive constraint")
         members = wand.build_members(
-            self.term_stats, groups, negations, phrase_words
+            self.term_stats, groups, negations, pos_words
         )
         return wand._composed_from_parts(
             self.spark, self.postings, members, self._with_grp, self.avgdl,
             groups, negations, phrases, k, self.n_buckets,
+            nears=nears,
         )
 
     def glob_topk(self, glob: str, k: int = 10) -> DataFrame:
@@ -266,11 +273,11 @@ class Searcher:
         words (a glob's matched vocabulary is per-doc, so glob-only
         queries yield NULL snippets by the closed-form rule)."""
         plan = parse_query(query)
-        if not plan.groups and not plan.phrases:
+        if not plan.groups and not plan.phrases and not plan.nears:
             raise ValueError(f"query has no positive constraint: {query!r}")
         out = self.composed_topk(
             groups=plan.groups, negations=plan.negations,
-            phrases=plan.phrases, k=k,
+            phrases=plan.phrases, k=k, nears=plan.nears,
         )
         if with_urls or with_snippets:
             terms = None
@@ -278,6 +285,7 @@ class Searcher:
                 terms = list(dict.fromkeys(
                     plan.positive_terms
                     + [w for p in plan.phrases for w in p]
+                    + plan.near_words
                 ))
             return self.attach_urls(out, snippet_terms=terms)
         return out
@@ -295,7 +303,7 @@ class Searcher:
         plans = {}
         for qid, q in queries.items():
             plan = parse_query(q)
-            if not plan.groups and not plan.phrases:
+            if not plan.groups and not plan.phrases and not plan.nears:
                 raise ValueError(f"query has no positive constraint: {q!r}")
             plans[qid] = plan
         if not plans:
@@ -304,11 +312,13 @@ class Searcher:
             )
 
         members = None
-        any_phrases = False
+        any_positions = False
         all_member_lists = []
         for qid, plan in plans.items():
-            pw = list(dict.fromkeys(w for ph in plan.phrases for w in ph))
-            any_phrases = any_phrases or bool(pw)
+            pw = list(dict.fromkeys(
+                [w for ph in plan.phrases for w in ph] + plan.near_words
+            ))
+            any_positions = any_positions or bool(pw)
             m = wand.build_members(
                 self.term_stats, plan.groups, plan.negations, pw
             ).withColumn("query_id", F.lit(qid))
@@ -338,14 +348,14 @@ class Searcher:
             postings = postings.where(pred)
 
         cols = wand._SCORING_COLS + (
-            ["positions", "pos_offsets"] if any_phrases else []
+            ["positions", "pos_offsets"] if any_positions else []
         )
         rows = self._with_grp(
             postings.select(*cols).join(F.broadcast(members), "term")
         )
 
         meta = {
-            qid: (len(plan.groups), plan.phrases)
+            qid: (len(plan.groups), plan.phrases, plan.nears)
             for qid, plan in plans.items()
         }
         avgdl = self.avgdl
@@ -359,8 +369,9 @@ class Searcher:
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             outs = []
             for qid, qpdf in pdf.groupby("query_id", sort=False):
-                n_groups, phrases = meta[qid]
-                scorer = wand.make_composed_scorer(n_groups, phrases, avgdl, k)
+                n_groups, phrases, nears = meta[qid]
+                scorer = wand.make_composed_scorer(n_groups, phrases, avgdl,
+                                                   k, nears=nears)
                 res = scorer(qpdf)
                 res.insert(0, "query_id", qid)
                 outs.append(res)

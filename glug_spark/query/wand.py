@@ -589,17 +589,22 @@ def _phrase_hits_segment(pdf: pd.DataFrame, words: list[str]) -> np.ndarray:
 
 def make_composed_scorer(
     n_groups: int, phrases: list[list[str]], avgdl: float, k: int,
+    nears: "list[tuple[str, str, int, bool]] | None" = None,
 ) -> "Callable[[pd.DataFrame], pd.DataFrame]":
     """Scorer for one doc-space group of a composed query.
 
     Row columns carry the query roles, computed JVM-side and fully
     distributed: ``idf`` (from term_stats), ``gmask`` (bit i set ⇔ term
     is a member of group i), ``is_neg``, ``is_phrase``. Scored terms are
-    group members + phrase words (mirrors execute.search). Filters run
-    inside the MaxScore kernel → exact filtered top-k.
+    group members + phrase/near words (mirrors execute.search). Filters
+    — including proximity (``nears``) position checks — run inside the
+    MaxScore kernel → exact filtered top-k.
     """
+    nears = nears or []
     full_mask = (1 << n_groups) - 1
-    phrase_words = {w for ph in phrases for w in ph}
+    phrase_words = {w for ph in phrases for w in ph} | {
+        w for a, b, _, _ in nears for w in (a, b)
+    }
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         meta = pdf.drop_duplicates("term").set_index("term")
@@ -616,6 +621,9 @@ def make_composed_scorer(
             return _empty_scores()
         for ph in phrases:
             if any(w not in meta.index for w in ph):
+                return _empty_scores()
+        for a, b, _, _ in nears:
+            if a not in meta.index or b not in meta.index:
                 return _empty_scores()
 
         rows_by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
@@ -639,6 +647,27 @@ def make_composed_scorer(
                     for w in set(ph)
                 }
                 docs = _phrase_doc_ids(per_word, ph)
+            else:
+                docs = cand
+            phrase_ok = docs if phrase_ok is None else docs[
+                np.isin(docs, phrase_ok, assume_unique=True)
+            ]
+            if not len(phrase_ok):
+                return _empty_scores()
+
+        # proximity constraints conjoin into the same position filter:
+        # candidates = docs holding both terms, positions decoded
+        # block-selectively over them, window check fully vectorized
+        for a, b, slop, ordered in nears:
+            cand = predecoded[a]["ids"]
+            cand = cand[np.isin(cand, predecoded[b]["ids"],
+                                assume_unique=True)]
+            if len(cand):
+                per_word = {
+                    w: _decode_positions_covering(rows_by_term[w], cand)
+                    for w in {a, b}
+                }
+                docs = _near_doc_ids(per_word, a, b, slop, ordered)
             else:
                 docs = cand
             phrase_ok = docs if phrase_ok is None else docs[
@@ -715,12 +744,17 @@ def _composed_from_parts(
     negations: list[tuple[str, str]],
     phrases: list[list[str]], k: int,
     n_buckets: int,
+    nears: "list[tuple[str, str, int, bool]] | None" = None,
 ) -> DataFrame:
     """Shared tail of the composed path (module function + Searcher)."""
-    phrase_words = list(dict.fromkeys(w for ph in phrases for w in ph))
+    nears = nears or []
+    pos_words = list(dict.fromkeys(
+        [w for ph in phrases for w in ph]
+        + [w for a, b, _, _ in nears for w in (a, b)]
+    ))
     # bucket pruning: only possible when every member is an explicit term
     all_members = ([m for g in groups for m in g] + negations
-                   + [("term", w) for w in phrase_words])
+                   + [("term", w) for w in pos_words])
     explicit_only = all(kind == "term" for kind, _ in all_members)
     if explicit_only:
         terms = [v for _, v in all_members]
@@ -732,11 +766,13 @@ def _composed_from_parts(
     if pushable is not None:
         postings = postings.where(pushable)
 
-    # column-prune positions unless a phrase actually needs them
-    cols = _SCORING_COLS + (["positions", "pos_offsets"] if phrases else [])
+    # column-prune positions unless a phrase/near actually needs them
+    cols = _SCORING_COLS + (
+        ["positions", "pos_offsets"] if (phrases or nears) else []
+    )
     rows = grp_mapper(postings.select(*cols).join(F.broadcast(members), "term"))
 
-    scorer = make_composed_scorer(len(groups), phrases, avgdl, k)
+    scorer = make_composed_scorer(len(groups), phrases, avgdl, k, nears=nears)
     per_group = rows.groupBy("grp").applyInPandas(
         lambda pdf: scorer(pdf), schema=_SCORE_SCHEMA
     )
@@ -751,9 +787,11 @@ def composed_topk(
     phrases: list[list[str]] | None = None,
     k: int = 10,
     n_buckets: int = 16,
+    nears: "list[tuple[str, str, int, bool]] | None" = None,
 ) -> DataFrame:
     """Exact top-k for a composed query (AND of disjunctive groups,
-    minus negations, constrained by phrases), straight from the index.
+    minus negations, constrained by phrases and proximity windows),
+    straight from the index.
 
     Fully distributed glob expansion: the matched vocabulary never
     reaches the driver — term_stats rows matching any member predicate
@@ -764,13 +802,17 @@ def composed_topk(
     """
     negations = negations or []
     phrases = phrases or []
-    phrase_words = list(dict.fromkeys(w for ph in phrases for w in ph))
-    if not groups and not phrase_words:
+    nears = nears or []
+    pos_words = list(dict.fromkeys(
+        [w for ph in phrases for w in ph]
+        + [w for a, b, _, _ in nears for w in (a, b)]
+    ))
+    if not groups and not pos_words:
         raise ValueError("composed query has no positive constraint")
 
     members = build_members(
         spark.read.parquet(f"{index_dir}/term_stats"),
-        groups, negations, phrase_words,
+        groups, negations, pos_words,
     )
     return _composed_from_parts(
         spark,
@@ -779,6 +821,7 @@ def composed_topk(
         lambda rows: with_scoring_group(spark, index_dir, rows),
         _collection(spark, index_dir)["avgdl"],
         groups, negations, phrases, k, n_buckets,
+        nears=nears,
     )
 
 

@@ -53,6 +53,17 @@ def test_phrase_filters_order(con):
     assert ids == {5}
 
 
+def test_near_window(con):
+    # 'data' within 2 of 'scan', any order: doc1 (d@0,s@2), doc2 (d@0..
+    # no: scan@3 gap3; data? doc2 'data noise table scan' gap 3 -> no),
+    # doc4 (scan@1, data@3, gap 2), doc6 (data@1, scan@3, gap 2)
+    rows = con.sql(composed_oracle_sql('"data scan"~2', k=10)).fetchall()
+    assert {r[1] for r in rows} == {1, 4, 6}
+    # ordered: data must precede scan
+    rows = con.sql(composed_oracle_sql('"data scan"~>2', k=10)).fetchall()
+    assert {r[1] for r in rows} == {1, 6}
+
+
 def test_group_conjunction(con):
     rows = con.sql(composed_oracle_sql("data merge", k=10)).fetchall()
     ids = {r[1] for r in rows}

@@ -37,6 +37,33 @@ def test_parse_glob_and_negation() -> None:
     assert p.negations == [("term", "noise")]
 
 
+def test_parse_near() -> None:
+    p = parse_query('"table merge"~3 data')
+    assert p.nears == [("table", "merge", 3, False)]
+    assert not p.phrases
+    assert p.groups == [[("term", "data")]]
+    assert p.near_words == ["table", "merge"]
+
+    p = parse_query('"table merge"~>12')
+    assert p.nears == [("table", "merge", 12, True)]
+
+    # suffix-less quote is still a phrase; both can coexist
+    p = parse_query('"a b" "c d"~2')
+    assert p.phrases == [["a", "b"]]
+    assert p.nears == [("c", "d", 2, False)]
+
+
+def test_parse_near_rejects_bad_shapes() -> None:
+    with pytest.raises(ValueError, match="exactly 2 terms"):
+        parse_query('"a b c"~3')
+    with pytest.raises(ValueError, match="slop"):
+        parse_query('"a b"~0')
+    # '~' NOT adjacent to a closing quote is just a conjunct character
+    p = parse_query('"a b" ~3')
+    assert p.phrases == [["a", "b"]]
+    assert not p.nears
+
+
 def test_parse_disjunctive_commas() -> None:
     p = parse_query("table,scan merge")
     assert p.groups == [[("term", "table"), ("term", "scan")], [("term", "merge")]]
@@ -72,7 +99,7 @@ def _brute_force(corpus: dict[int, list[str]], query: str, k: int):
 
     all_pos = [m for g in plan.groups for m in g] + [
         ("term", w) for ph in plan.phrases for w in ph
-    ]
+    ] + [("term", w) for w in plan.near_words]
     match_any = compile_members(all_pos)
     group_fns = [compile_members(g) for g in plan.groups]
     neg_fn = compile_members(plan.negations) if plan.negations else None
@@ -98,6 +125,15 @@ def _brute_force(corpus: dict[int, list[str]], query: str, k: int):
                 toks[i : i + len(phrase)] == phrase
                 for i in range(len(toks) - len(phrase) + 1)
             )
+            ok = ok and hit
+        for a, b, slop, ordered in plan.nears:
+            pa = [i for i, t in enumerate(toks) if t == a]
+            pb = {i for i, t in enumerate(toks) if t == b}
+            deltas = (
+                range(1, slop + 1) if ordered
+                else [dd for dd in range(-slop, slop + 1) if dd]
+            )
+            hit = any((i + dd) in pb for i in pa for dd in deltas)
             ok = ok and hit
         if not ok:
             continue
@@ -133,6 +169,12 @@ QUERIES = [
     "the -dat*",
     "data,dat* -join",
     '"the the" -data',
+    # proximity constraints (full-text extension: slop-suffixed quotes)
+    '"table merge"~3',
+    '"table merge"~>3',
+    '"data join"~2 -noise',
+    'the "table merge"~4',
+    'dat* "table scan" "scan merge"~5',
 ]
 
 

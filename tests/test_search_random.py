@@ -39,6 +39,10 @@ def _random_query(rng: random.Random) -> str:
     if rng.random() < 0.5:
         w1, w2 = rng.sample(VOCAB, 2)
         parts.append(f'"{w1} {w2}"')
+    if rng.random() < 0.5:
+        w1, w2 = rng.sample(VOCAB, 2)
+        arrow = ">" if rng.random() < 0.5 else ""
+        parts.append(f'"{w1} {w2}"~{arrow}{rng.randint(1, 5)}')
     return " ".join(parts)
 
 

@@ -115,6 +115,8 @@ def test_search_many_matches_individual(spark, searcher):
         "c": 'the "table scan"',
         "d": '"the the" -data',
         "e": "table,scan merge",
+        "f": '"table merge"~3',
+        "g": 'data "table merge"~>4 -noise',
     }
     batched = searcher.search_many(queries, k=10).collect()
     by_query: dict[str, list] = {}
