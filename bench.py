@@ -614,6 +614,12 @@ def run_scaling(
     thr_high = results[high]["docs_per_sec"]
     q_low = results[low]["value"]
     q_high = results[high]["value"]
+    # query-THROUGHPUT leg: the batched 32-query job is the service
+    # workload whose docs-scanned/sec should scale with cores (single-
+    # query latency is fixed-overhead-bound at local[*] and is reported
+    # as a speedup, not an efficiency)
+    qps_low = 32 / results[low]["batch32_sec"]
+    qps_high = 32 / results[high]["batch32_sec"]
     return {
         "metric": "scaling_efficiency_build",
         "value": round((thr_high / thr_low) / (high / low), 4),
@@ -624,6 +630,11 @@ def run_scaling(
         "docs_per_sec": {str(low): thr_low, str(high): thr_high},
         "query_total_sec": {str(low): q_low, str(high): q_high},
         "query_speedup": round(q_low / q_high, 4) if q_high else None,
+        "batch_queries_per_sec": {str(low): round(qps_low, 2),
+                                  str(high): round(qps_high, 2)},
+        "query_batch_scaling_efficiency": round(
+            (qps_high / qps_low) / (high / low), 4
+        ),
     }
 
 
