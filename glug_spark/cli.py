@@ -171,6 +171,28 @@ def main(argv: list[str] | None = None) -> int:
              "group fan-out under continuous ingest)",
     )
 
+    de = sub.add_parser(
+        "delete", help="tombstone documents (merge-on-read; no index I/O)"
+    )
+    de.add_argument("--index", required=True)
+    de.add_argument("--ids", default=None,
+                    help="comma-separated doc_ids to tombstone")
+    de.add_argument("--url-glob", default=None,
+                    help="tombstone every doc whose url matches this "
+                         "glug glob (takedown-by-site)")
+    de.add_argument(
+        "--max-tombstones", type=int, default=None, metavar="N",
+        help="purge policy: after tombstoning, physically purge when "
+             "the tombstone count exceeds N (bounds the merge-on-read "
+             "working set shipped to scoring workers)",
+    )
+
+    pu = sub.add_parser(
+        "purge", help="physically remove tombstoned docs and make "
+                      "BM25 stats exact again"
+    )
+    pu.add_argument("--index", required=True)
+
     args = parser.parse_args(argv)
 
     from glug_spark.session import get_spark
@@ -277,6 +299,30 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.index,
                 min_run=args.min_run, merge_factor=args.merge_factor,
             )))
+        elif args.command == "delete":
+            from glug_spark.index.deletes import (
+                delete_by_url_glob, delete_docs, maybe_purge,
+            )
+
+            if (args.ids is None) == (args.url_glob is None):
+                parser.error("delete: exactly one of --ids / --url-glob")
+            if args.ids is not None:
+                summary = delete_docs(
+                    spark, args.index,
+                    [int(s) for s in args.ids.split(",") if s.strip()],
+                )
+            else:
+                summary = delete_by_url_glob(spark, args.index,
+                                             args.url_glob)
+            if args.max_tombstones is not None:
+                purged = maybe_purge(spark, args.index,
+                                     args.max_tombstones)
+                summary["purge"] = purged
+            print(json.dumps(summary))
+        elif args.command == "purge":
+            from glug_spark.index.deletes import purge_deletes
+
+            print(json.dumps(purge_deletes(spark, args.index)))
         elif args.command == "stats":
             from glug_spark.operators.introspect import index_stats
 

@@ -149,25 +149,21 @@ def maybe_compact(
     return summary
 
 
-def compact_index(
-    spark: SparkSession,
-    index_dir: str,
-    min_run: int = 64,
-    merge_factor: int = 32,
-) -> dict:
-    """Coarsen the scoring segmentation and merge fragmented tail runs.
+def ensure_stream_consistent(
+    spark: SparkSession, enc: "DataFrame", index_dir: str
+) -> None:
+    """Refuse to rewrite posting rows while stream-ingest state is
+    inconsistent (shared guard for compaction and delete-purge).
 
-    A run group is compacted when it has more than one run AND its mean
-    run length < ``min_run``. Returns before/after row counts.
-
-    Refuses when an UN-MANIFESTED stream namespace exists on disk (a
-    crashed ingest attempt's orphaned append): compaction would rewrite
-    those rows under a merged segment id, hiding them from the replay's
-    namespace probe — after which the orphan can never be adopted and a
-    re-delivered batch would double-encode its docs. Run the pending
-    ingest drain (recovery) first, or delete the orphaned segments.
+    Raises when an UN-MANIFESTED stream namespace exists on disk (a
+    crashed ingest attempt's orphaned append): a rewrite would move
+    those rows under a different segment id, hiding them from the
+    replay's namespace probe — after which the orphan can never be
+    adopted and a re-delivered batch would double-encode its docs.
+    Run the pending ingest drain (recovery) first, or delete the
+    orphaned segments. Committed-but-unfolded batches are folded here
+    (refresh_stats is idempotent and incremental).
     """
-    from glug_spark.query import wand as _wand  # segmap cache invalidation
     from glug_spark.streaming.ingest import (
         ATTEMPT_SPAN as _SPAN,
         STREAM_ATTEMPT_BASE as _SBASE,
@@ -176,10 +172,6 @@ def compact_index(
         refresh_stats,
     )
 
-    src = os.path.join(index_dir, "postings")
-    enc = spark.read.parquet(src)
-
-    # --- 0. recovery-before-compaction guard ---------------------------
     stream_first = _SBASE * _SPAN
     stream_segs = [
         int(r["segment"])
@@ -196,7 +188,7 @@ def compact_index(
         })
         if orphaned:
             raise RuntimeError(
-                f"compact_index: stream batch namespace(s) {orphaned} "
+                f"stream batch namespace(s) {orphaned} "
                 "have segments on disk but no stream_manifest row — an "
                 "ingest attempt crashed after its append and has not "
                 "been recovered. Compacting now would rewrite the "
@@ -217,6 +209,27 @@ def compact_index(
         folded = state[0] if state is not None else set()
         if committed - folded:
             refresh_stats(spark, index_dir)
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    min_run: int = 64,
+    merge_factor: int = 32,
+) -> dict:
+    """Coarsen the scoring segmentation and merge fragmented tail runs.
+
+    A run group is compacted when it has more than one run AND its mean
+    run length < ``min_run``. Returns before/after row counts. Guarded
+    by :func:`ensure_stream_consistent` (rewriting rows of an
+    unrecovered or unfolded stream batch would corrupt ingest
+    recovery/stats accounting).
+    """
+    from glug_spark.query import wand as _wand  # segmap cache invalidation
+
+    src = os.path.join(index_dir, "postings")
+    enc = spark.read.parquet(src)
+    ensure_stream_consistent(spark, enc, index_dir)
 
     # --- 1. coarsen the segmentation (compose with any existing map).
     # The segment universe is the UNION of the previous map's keys and

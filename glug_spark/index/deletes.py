@@ -1,0 +1,404 @@
+"""Document deletes: tombstones → merge-on-read → physical purge.
+
+A served 100 TB web index needs takedowns (robots revocation, legal
+removal, recrawl supersession) without rebuilding. The design mirrors
+Lucene's live-docs model re-expressed for the bucketed-parquet layout:
+
+- ``delete_docs`` appends (doc_id) TOMBSTONE rows under ``deletes/``
+  — an O(|deletes|) metadata write; the index data is untouched.
+- Every query path applies the tombstone set inside its scoring
+  kernel BEFORE θ-seeding / top-k selection (merge-on-read), so a
+  deleted doc can neither appear in results nor inflate MaxScore's
+  admission threshold θ and shadow a live doc out of the top-k.
+  BM25 stats (df/idf/avgdl/n_docs) still count tombstoned docs until
+  purge — the same semantics Lucene serves between soft delete and
+  segment merge.
+- ``purge_deletes`` physically rewrites the posting rows that can
+  contain a deleted doc (block-metadata pruned), recomputes
+  term_stats/collection so stats become exact again, prunes the
+  docmap partitions holding the deleted ids, and clears the
+  tombstones. A purged index is bit-equivalent in query results and
+  stats to an index freshly built on the corpus minus the deleted
+  docs (differentially tested).
+
+Scale posture: the tombstone set between purges is the merge-on-read
+working set — it ships to scoring workers as a sorted int64 array
+(Lucene's live-docs bitset analog) and is assumed purge-bounded
+(policy: purge when |tombstones| crosses a threshold, exactly like
+the compaction trigger). The purge itself is major-compaction class
+I/O, but only rows whose block metadata admits a deleted id are
+decoded; everything else passes through byte-identical.
+
+Reference parity note: the reference engine (dkaszews/glug) rescans
+the filesystem per query, so deletion is implicit; an offline index
+must model it explicitly — this module is the index-side analog of
+the reference honouring file removal between runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from glug_spark.index import codec
+from glug_spark.index.pipeline import ENCODED_SCHEMA, bucket_col
+
+DELETES_DIR = "deletes"
+#: append-only ledger of physical purges: (purge_id, n_docs_removed).
+#: n_docs accounting everywhere is ``params + stream manifest − ledger``
+#: — the manifest rows and build params are immutable lineage, so the
+#: ledger is the ONLY record that docs left the index. refresh_stats
+#: subtracts it; without that, the first post-purge ingest would fold
+#: stats against the pre-purge n_docs and silently resurrect the
+#: purged docs in every idf.
+PURGE_LEDGER = "purge_ledger"
+
+#: tombstone set per index_dir (sorted int64 array, or None when the
+#: index has no deletes) — same single-writer cache discipline as the
+#: segmap/collection caches in query.wand
+_DELETED_CACHE: dict[str, "np.ndarray | None"] = {}
+
+
+def invalidate_deletes_cache(index_dir: str) -> None:
+    _DELETED_CACHE.pop(index_dir, None)
+
+
+def _deletes_path(index_dir: str) -> str:
+    return os.path.join(index_dir, DELETES_DIR)
+
+
+def delete_docs(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids: "DataFrame | list[int] | np.ndarray",
+) -> dict:
+    """Tombstone ``doc_ids``: append-only metadata write, no index I/O.
+
+    Accepts a list/array (driver-known ids) or a single-column
+    DataFrame (``doc_id``) for ids resolved by a distributed scan
+    (e.g. :func:`delete_by_url_glob`). Duplicate / nonexistent ids are
+    harmless — the read side dedups and the scoring mask just never
+    hits them."""
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+    else:
+        ids = [int(d) for d in doc_ids]
+        if not ids:
+            return {"tombstoned": 0}
+        df = spark.createDataFrame([(d,) for d in ids], "doc_id long")
+    n = df.count()
+    if n:
+        df.write.mode("append").parquet(_deletes_path(index_dir))
+        invalidate_deletes_cache(index_dir)
+    return {"tombstoned": int(n)}
+
+
+def delete_by_url_glob(spark: SparkSession, index_dir: str,
+                       pattern: str) -> dict:
+    """Tombstone every doc whose docmap ``url`` matches a glug glob
+    (e.g. ``*.spam.example/*``) — the takedown-by-site shape.
+
+    One column-pruned scan of the docmap's (doc_id, url) columns; the
+    matched ids flow straight into the tombstone append without ever
+    being collected to the driver."""
+    from glug_spark.index.pipeline import read_docmap
+    from glug_spark.semantics.glob import full_match_regex
+
+    dm = read_docmap(spark, index_dir)
+    if dm is None:
+        raise FileNotFoundError(
+            f"{index_dir}/docmap does not exist — delete_by_url_glob "
+            "needs the docmap side table (rebuild writes it)"
+        )
+    matched = dm.where(
+        F.col("url").rlike(full_match_regex(pattern))
+    ).select("doc_id")
+    return delete_docs(spark, index_dir, matched)
+
+
+def read_deleted_ids(spark: SparkSession,
+                     index_dir: str) -> "np.ndarray | None":
+    """The tombstone set as a sorted distinct int64 array (the scoring
+    workers' live-docs mask), or None when the index has no deletes.
+    Cached per index_dir; invalidated by delete/purge."""
+    if index_dir in _DELETED_CACHE:
+        return _DELETED_CACHE[index_dir]
+    path = _deletes_path(index_dir)
+    out: "np.ndarray | None" = None
+    if os.path.exists(path):
+        rows = spark.read.parquet(path).select("doc_id").distinct().collect()
+        if rows:
+            out = np.sort(np.asarray(
+                [int(r["doc_id"]) for r in rows], dtype=np.int64
+            ))
+    _DELETED_CACHE[index_dir] = out
+    return out
+
+
+def purged_docs_total(spark: SparkSession, index_dir: str) -> int:
+    """Total docs physically removed by all purges (ledger sum) — the
+    correction term for every ``params + manifest`` n_docs derivation."""
+    path = os.path.join(index_dir, PURGE_LEDGER)
+    if not os.path.exists(path):
+        return 0
+    return int(
+        spark.read.parquet(path)
+        .agg(F.sum("n_docs_removed")).collect()[0][0] or 0
+    )
+
+
+def not_deleted_mask(deleted: "np.ndarray | None",
+                     ids: np.ndarray) -> np.ndarray:
+    """Boolean live-doc mask for ``ids`` (True = keep). ``deleted``
+    must be sorted; vectorized searchsorted membership."""
+    if deleted is None or not len(deleted) or not len(ids):
+        return np.ones(len(ids), dtype=bool)
+    pos = np.minimum(np.searchsorted(deleted, ids), len(deleted) - 1)
+    return deleted[pos] != ids
+
+
+def _make_purge_rewriter(
+    deleted: np.ndarray,
+) -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
+    """mapInPandas worker for the purge rewrite: each posting row either
+    passes through byte-identical (no deleted doc in its range) or is
+    decoded, masked and re-encoded (dropped entirely when empty)."""
+    from glug_spark.query.wand import _first_doc_id
+
+    max_del = int(deleted[-1])
+    cols = [f.name for f in ENCODED_SCHEMA]
+
+    def rewrite(
+        batches: "Iterator[pd.DataFrame]",
+    ) -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.to_dict("records"):
+                # cheap in-kernel prune: the JVM predicate checked
+                # max(run) >= min(deleted); here check min(run) too
+                if _first_doc_id(row["doc_gaps"]) > max_del:
+                    out_rows.append(row)
+                    continue
+                ids, tfs, dls = codec.decode_segment(row)
+                keep = not_deleted_mask(deleted, ids)
+                if keep.all():
+                    out_rows.append(row)
+                    continue
+                if not keep.any():
+                    continue  # run fully deleted → drop the row
+                plists = codec.decode_positions(row["positions"], tfs)
+                keep_idx = np.flatnonzero(keep)
+                kept_pos = [plists[i] for i in keep_idx]
+                pos_flat = (
+                    np.concatenate(kept_pos).astype(np.uint64)
+                    if kept_pos and sum(len(p) for p in kept_pos)
+                    else np.zeros(0, np.uint64)
+                )
+                runs = codec.encode_runs(
+                    np.zeros(int(keep.sum()), dtype=np.int64),
+                    ids[keep], tfs[keep], dls[keep], pos_flat,
+                )
+                run = runs[0]
+                run.pop("run_start")
+                out_rows.append({
+                    "bucket": row["bucket"],
+                    "term": row["term"],
+                    "segment": row["segment"],
+                    "cf_local": int(tfs[keep].sum()),
+                    "lineage": row["lineage"],
+                    "n_docs_batch": row["n_docs_batch"],
+                    **run,
+                })
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    return rewrite
+
+
+def purge_deletes(spark: SparkSession, index_dir: str) -> dict:
+    """Physically remove tombstoned docs: rewrite affected posting
+    rows, make term/collection stats exact again, prune the docmap,
+    clear the tombstones.
+
+    Result invariant (differentially tested): top-k results AND
+    term_stats AND collection stats equal those of an index freshly
+    built on the corpus minus the deleted docs. The build manifest and
+    params are deliberately untouched — they are build lineage, and a
+    purged index still reads as "complete" to build resume.
+
+    I/O shape: one metadata-pruned pass over the postings —
+    rows whose ``block_last`` max is below the smallest deleted id
+    never reach the Python worker (JVM predicate), rows whose first
+    doc id exceeds the largest deleted id pass through undecoded; at
+    10^12 docs this runs per bucket partition, embarrassingly
+    parallel, no shuffle."""
+    from glug_spark.index.compact import ensure_stream_consistent
+    from glug_spark.index.pipeline import docmap_n_buckets, read_docmap
+    from glug_spark.streaming.ingest import (
+        _done_batches, _idf, _stream_manifest_path, _write_stats,
+    )
+
+    deleted = read_deleted_ids(spark, index_dir)
+    if deleted is None or not len(deleted):
+        return {"purged_docs": 0, "rows_before": None, "rows_after": None}
+
+    src = os.path.join(index_dir, "postings")
+    enc = spark.read.parquet(src)
+    # same hazard as compaction: rewriting rows of an unrecovered /
+    # unfolded stream batch would corrupt ingest recovery accounting
+    ensure_stream_consistent(spark, enc, index_dir)
+
+    dm = read_docmap(spark, index_dir)
+    if dm is None:
+        raise FileNotFoundError(
+            f"{index_dir}/docmap does not exist — purge needs the docmap "
+            "to account removed docs exactly (rebuild writes it)"
+        )
+    n_dm_buckets = docmap_n_buckets(spark, index_dir)
+    aff_buckets = sorted({int(d) % n_dm_buckets for d in deleted})
+    deleted_df = spark.createDataFrame(
+        [(int(d),) for d in deleted], "doc_id long"
+    )
+    # docs actually present (tombstones may name unknown ids); the
+    # docmap scan prunes to the deleted ids' bucket partitions
+    n_removed = (
+        dm.where(F.col("doc_bucket").isin(aff_buckets))
+        .join(F.broadcast(deleted_df), "doc_id", "left_semi")
+        .select("doc_id").distinct().count()
+    )
+
+    # --- 1. rewrite the postings (pruned: untouched rows never move
+    # through Python) --------------------------------------------------
+    min_del = int(deleted[0])
+    touch = F.coalesce(
+        F.try_element_at("block_last", F.lit(-1)) >= F.lit(min_del),
+        F.lit(False),
+    )
+    cols = [f.name for f in ENCODED_SCHEMA]
+    untouched = enc.where(~touch)
+    rewritten = enc.where(touch).mapInPandas(
+        _make_purge_rewriter(deleted), schema=ENCODED_SCHEMA
+    )
+    before = enc.count()
+    tmp = os.path.join(index_dir, "postings_purged")
+    (
+        untouched.select(cols)
+        .unionByName(rewritten.select(cols))
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    after = spark.read.parquet(tmp).count()
+    shutil.rmtree(src)
+    os.rename(tmp, src)
+
+    # ledger row for this purge — keyed by a content hash of the
+    # tombstone set, so a crashed purge re-run (tombstones are cleared
+    # LAST) recognises its own earlier append and cannot double-count
+    purge_id = hashlib.md5(deleted.tobytes()).hexdigest()
+    ledger_path = os.path.join(index_dir, PURGE_LEDGER)
+    known: set[str] = set()
+    if os.path.exists(ledger_path):
+        known = {
+            str(r["purge_id"])
+            for r in spark.read.parquet(ledger_path).collect()
+        }
+    if purge_id not in known:
+        spark.createDataFrame(
+            [(purge_id, int(n_removed))],
+            "purge_id string, n_docs_removed long",
+        ).write.mode("append").parquet(ledger_path)
+
+    # --- 2. exact stats from the purged index (metadata-scale aggs).
+    # n_docs derives from immutable lineage (build params + stream
+    # manifest) minus the ledger — NOT from the current collection row,
+    # which a crashed earlier run may already have reduced ------------
+    params = spark.read.parquet(os.path.join(index_dir, "params")).collect()[0]
+    n_buckets = int(params["n_buckets"])
+    n_docs = int(params["n_docs"])
+    smp = _stream_manifest_path(index_dir)
+    if os.path.exists(smp):
+        n_docs += sum(
+            int(r["n_docs"] or 0)
+            for r in spark.read.parquet(smp).collect()
+        )
+    n_docs -= purged_docs_total(spark, index_dir)
+    enc2 = spark.read.parquet(src)
+    total_tokens = int(
+        enc2.agg(F.sum("cf_local")).collect()[0][0] or 0
+    )
+    stats = (
+        enc2.groupBy("term")
+        .agg(F.sum("df_local").alias("df"))
+        .withColumn("bucket", bucket_col(n_buckets=n_buckets))
+        .withColumn("idf", _idf(F.col("df"), n_docs))
+    )
+    # folded := every committed stream batch — the recomputed totals
+    # reflect all of them, so a later incremental refresh folds only
+    # batches ingested AFTER this purge
+    _write_stats(spark, index_dir, stats, _done_batches(spark, index_dir),
+                 total_tokens, n_docs)
+
+    # --- 3. prune the docmap: dynamic-overwrite ONLY the (sb,
+    # doc_bucket) partitions that can hold a deleted id ---------------
+    sub = dm.where(F.col("doc_bucket").isin(aff_buckets))
+    keep = sub.join(F.broadcast(deleted_df), "doc_id", "left_anti")
+    data_cols = [c for c in dm.columns if c not in ("sb", "doc_bucket")]
+    survivors = keep.select("sb", "doc_bucket").distinct()
+    emptied = (
+        sub.select("sb", "doc_bucket").distinct()
+        .join(survivors, ["sb", "doc_bucket"], "left_anti")
+        .collect()
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (
+            keep.select(*data_cols, "sb", "doc_bucket")
+            .repartition(max(len(aff_buckets), 1), F.col("doc_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("sb", "doc_bucket")
+            .parquet(os.path.join(index_dir, "docmap"))
+        )
+    finally:
+        spark.conf.set(mode_key, prev)
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data — a partition whose every row was deleted must be removed
+    # explicitly (metadata-scale list)
+    for r in emptied:
+        shutil.rmtree(
+            os.path.join(index_dir, "docmap", f"sb={int(r['sb'])}",
+                         f"doc_bucket={int(r['doc_bucket'])}"),
+            ignore_errors=True,
+        )
+
+    # --- 4. tombstones are served — clear them -------------------------
+    shutil.rmtree(_deletes_path(index_dir), ignore_errors=True)
+    invalidate_deletes_cache(index_dir)
+
+    return {
+        "purged_docs": int(n_removed),
+        "tombstones": int(len(deleted)),
+        "rows_before": int(before),
+        "rows_after": int(after),
+        "n_docs": int(n_docs),
+        "total_tokens": int(total_tokens),
+    }
+
+
+def maybe_purge(spark: SparkSession, index_dir: str,
+                max_tombstones: int) -> "dict | None":
+    """Purge POLICY (the deletes analog of compact.maybe_compact):
+    purge when the tombstone count exceeds ``max_tombstones``, else
+    no-op. Bounds the merge-on-read working set shipped to scoring
+    workers."""
+    deleted = read_deleted_ids(spark, index_dir)
+    if deleted is None or len(deleted) <= max_tombstones:
+        return None
+    return purge_deletes(spark, index_dir)

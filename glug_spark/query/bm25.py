@@ -113,18 +113,28 @@ def bm25_topk(
     return _ranked_topk(per_doc, k)
 
 
-def bm25_topk_sql(terms: list[str], k: int = 10, conjunctive: bool = False) -> str:
-    """DuckDB oracle mirroring :func:`bm25_topk` arithmetic exactly."""
+def bm25_topk_sql(terms: list[str], k: int = 10, conjunctive: bool = False,
+                  docs_rel: str = "documents",
+                  live_filter: str | None = None) -> str:
+    """DuckDB oracle mirroring :func:`bm25_topk` arithmetic exactly.
+
+    ``docs_rel`` substitutes the corpus relation (the purged-index
+    oracle scores a filtered corpus — stats AND candidates both
+    shrink). ``live_filter`` is a predicate over ``p.doc_id`` applied
+    to CANDIDATES only, with stats still computed on the full corpus —
+    exactly merge-on-read tombstone semantics (deletes are invisible
+    to df/idf/avgdl until purge, like Lucene live-docs)."""
     quoted = ", ".join(_sql_quote(t) for t in terms)
     having = (
         f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
     )
+    where_live = f"WHERE {live_filter}" if live_filter else ""
     return f"""
 WITH toks AS (
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+')) AS BIGINT) AS dl,
            unnest(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+')) AS term
-    FROM documents
+    FROM {docs_rel}
 ),
 qtoks AS (SELECT * FROM toks WHERE term IN ({quoted})),
 postings AS (
@@ -136,7 +146,7 @@ coll AS (
     SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
     FROM (SELECT doc_id,
                  CAST(len(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+')) AS BIGINT) AS dl
-          FROM documents)
+          FROM {docs_rel})
 ),
 per_doc AS (
     SELECT p.doc_id,
@@ -145,6 +155,7 @@ per_doc AS (
                 / (p.tf + {K1} * (1.0 - {B} + {B} * p.dl / c.avgdl)) ) AS raw_score,
            count(*) AS n_matched
     FROM postings p JOIN stats s USING (term) CROSS JOIN coll c
+    {where_live}
     GROUP BY p.doc_id
     {having}
 ),

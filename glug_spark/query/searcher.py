@@ -15,7 +15,8 @@ service you persist just the DataFrame (partition-level MEMORY_AND_DISK
 eviction keeps it bounded). NOTHING corpus-sized is ever collected.
 
 A Searcher snapshots the index layout at open time: reopen after
-``compact_index`` or stream ingestion (both swap/append files).
+``compact_index``, stream ingestion, or ``delete_docs``/``purge_deletes``
+(the tombstone set is pinned with the rest of the metadata).
 """
 
 from __future__ import annotations
@@ -48,6 +49,10 @@ class Searcher:
         coll = spark.read.parquet(f"{index_dir}/collection").collect()[0]
         self.avgdl = float(coll["avgdl"])
         self.n_docs = int(coll["n_docs"])
+        from glug_spark.index.deletes import read_deleted_ids
+
+        #: merge-on-read tombstone set, pinned at open like the segmap
+        self.deleted = read_deleted_ids(spark, index_dir)
         if persist:
             for df in (self.postings, self.term_stats):
                 df.persist()
@@ -151,7 +156,7 @@ class Searcher:
             .join(F.broadcast(stats), "term")
         )
         scorer = wand.make_segment_scorer(
-            uniq, None, self.avgdl, k, conjunctive
+            uniq, None, self.avgdl, k, conjunctive, deleted=self.deleted
         )
         per_group = rows.groupBy("grp").applyInPandas(
             lambda pdf: scorer(pdf), schema=wand._SCORE_SCHEMA
@@ -203,6 +208,7 @@ class Searcher:
         )
         terms_by_query = {qid: list(dict.fromkeys(t)) for qid, t in queries.items()}
         avgdl = self.avgdl
+        deleted = self.deleted
 
         schema = T.StructType([
             T.StructField("query_id", T.StringType()),
@@ -214,7 +220,8 @@ class Searcher:
             outs = []
             for qid, qpdf in pdf.groupby("query_id", sort=False):
                 scorer = wand.make_segment_scorer(
-                    terms_by_query[qid], None, avgdl, k, False
+                    terms_by_query[qid], None, avgdl, k, False,
+                    deleted=deleted,
                 )
                 res = scorer(qpdf)
                 res.insert(0, "query_id", qid)
@@ -259,6 +266,7 @@ class Searcher:
             self.spark, self.postings, members, self._with_grp, self.avgdl,
             groups, negations, phrases, k, self.n_buckets,
             nears=nears,
+            deleted=self.deleted,
         )
 
     def glob_topk(self, glob: str, k: int = 10) -> DataFrame:
@@ -359,6 +367,7 @@ class Searcher:
             for qid, plan in plans.items()
         }
         avgdl = self.avgdl
+        deleted = self.deleted
 
         schema = T.StructType([
             T.StructField("query_id", T.StringType()),
@@ -371,7 +380,8 @@ class Searcher:
             for qid, qpdf in pdf.groupby("query_id", sort=False):
                 n_groups, phrases, nears = meta[qid]
                 scorer = wand.make_composed_scorer(n_groups, phrases, avgdl,
-                                                   k, nears=nears)
+                                                   k, nears=nears,
+                                                   deleted=deleted)
                 res = scorer(qpdf)
                 res.insert(0, "query_id", qid)
                 outs.append(res)
@@ -402,12 +412,16 @@ class Searcher:
             .drop("bucket")
         )
         words = list(phrase)
+        deleted = self.deleted
 
         import pandas as pd
         from pyspark.sql import types as T
 
         def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            from glug_spark.index.deletes import not_deleted_mask
+
             hits = wand._phrase_hits_segment(pdf, words)
+            hits = hits[not_deleted_mask(deleted, hits)]
             return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
 
         matched = rows.groupBy("grp").applyInPandas(
@@ -431,9 +445,14 @@ class Searcher:
         import pandas as pd
         from pyspark.sql import types as T
 
+        deleted = self.deleted
+
         def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            from glug_spark.index.deletes import not_deleted_mask
+
             hits = wand._near_hits_segment(pdf, term_a, term_b, slop,
                                            ordered)
+            hits = hits[not_deleted_mask(deleted, hits)]
             return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
 
         matched = rows.groupBy("grp").applyInPandas(

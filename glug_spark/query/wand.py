@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 
 from glug_spark.index import codec
 from glug_spark.index.build import K1, B
+from glug_spark.index.deletes import not_deleted_mask, read_deleted_ids
 from glug_spark.index.pipeline import python_bucket
 
 _SCORE_SCHEMA = T.StructType([
@@ -347,12 +348,20 @@ def _local_topk(cand: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
 def make_segment_scorer(
     terms: list[str], idfs: dict[str, float] | None,
     avgdl: float, k: int, conjunctive: bool,
+    deleted: "np.ndarray | None" = None,
 ) -> "Callable[[pd.DataFrame], pd.DataFrame]":
     """Plain top-k scorer for one doc-space group. ``idfs=None`` reads
     idf from an ``idf`` row column instead (stats delivered by a
-    broadcast join — saves the separate stats-lookup job)."""
+    broadcast join — saves the separate stats-lookup job). ``deleted``
+    is the sorted tombstone set (merge-on-read): filtered BEFORE
+    θ-seeding and top-k selection, so a deleted doc can neither appear
+    nor shadow a live doc out of the exact top-k."""
     uniq_terms = list(dict.fromkeys(terms))
     static_idfs = idfs
+    tomb_filter = (
+        None if deleted is None
+        else (lambda cand, lists: not_deleted_mask(deleted, cand))
+    )
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         idfs = static_idfs
@@ -369,10 +378,14 @@ def make_segment_scorer(
             cand = present[0]["ids"]
             for p in present[1:]:
                 cand = cand[np.isin(cand, p["ids"], assume_unique=True)]
+            if deleted is not None:
+                cand = cand[not_deleted_mask(deleted, cand)]
             scores = _score_candidates(cand, lists, idfs, avgdl)
         else:
             groups = {t: g for t, g in pdf.groupby("term", sort=False)}
-            cand, scores = _maxscore_pass(groups, idfs, avgdl, k)
+            cand, scores = _maxscore_pass(
+                groups, idfs, avgdl, k, passes_filter=tomb_filter
+            )
         return _local_topk(cand, scores, k)
 
     return score_segment
@@ -448,7 +461,10 @@ def wand_topk(
         .select(*_SCORING_COLS)
     )
     rows = with_scoring_group(spark, index_dir, rows)
-    scorer = make_segment_scorer(uniq, idfs, avgdl, k, conjunctive)
+    scorer = make_segment_scorer(
+        uniq, idfs, avgdl, k, conjunctive,
+        deleted=read_deleted_ids(spark, index_dir),
+    )
     per_group = rows.groupBy("grp").applyInPandas(
         lambda pdf: scorer(pdf), schema=_SCORE_SCHEMA
     )
@@ -590,6 +606,7 @@ def _phrase_hits_segment(pdf: pd.DataFrame, words: list[str]) -> np.ndarray:
 def make_composed_scorer(
     n_groups: int, phrases: list[list[str]], avgdl: float, k: int,
     nears: "list[tuple[str, str, int, bool]] | None" = None,
+    deleted: "np.ndarray | None" = None,
 ) -> "Callable[[pd.DataFrame], pd.DataFrame]":
     """Scorer for one doc-space group of a composed query.
 
@@ -597,7 +614,8 @@ def make_composed_scorer(
     distributed: ``idf`` (from term_stats), ``gmask`` (bit i set ⇔ term
     is a member of group i), ``is_neg``, ``is_phrase``. Scored terms are
     group members + phrase/near words (mirrors execute.search). Filters
-    — including proximity (``nears``) position checks — run inside the
+    — including proximity (``nears``) position checks and the
+    merge-on-read tombstone mask (``deleted``) — run inside the
     MaxScore kernel → exact filtered top-k.
     """
     nears = nears or []
@@ -679,7 +697,7 @@ def make_composed_scorer(
         neg_terms = [t for t in meta.index if is_neg.get(t)]
 
         def passes_filter(cand: np.ndarray, lists: dict) -> np.ndarray:
-            ok = np.ones(len(cand), dtype=bool)
+            ok = not_deleted_mask(deleted, cand)
             if n_groups:
                 cover = np.zeros(len(cand), dtype=np.int64)
                 for t in scored:
@@ -745,6 +763,7 @@ def _composed_from_parts(
     phrases: list[list[str]], k: int,
     n_buckets: int,
     nears: "list[tuple[str, str, int, bool]] | None" = None,
+    deleted: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Shared tail of the composed path (module function + Searcher)."""
     nears = nears or []
@@ -772,7 +791,8 @@ def _composed_from_parts(
     )
     rows = grp_mapper(postings.select(*cols).join(F.broadcast(members), "term"))
 
-    scorer = make_composed_scorer(len(groups), phrases, avgdl, k, nears=nears)
+    scorer = make_composed_scorer(len(groups), phrases, avgdl, k, nears=nears,
+                                  deleted=deleted)
     per_group = rows.groupBy("grp").applyInPandas(
         lambda pdf: scorer(pdf), schema=_SCORE_SCHEMA
     )
@@ -822,6 +842,7 @@ def composed_topk(
         _collection(spark, index_dir)["avgdl"],
         groups, negations, phrases, k, n_buckets,
         nears=nears,
+        deleted=read_deleted_ids(spark, index_dir),
     )
 
 
@@ -843,6 +864,7 @@ def docs_with_any(
         .select("segment", "doc_gaps")
     )
     rows = with_scoring_group(spark, index_dir, rows)
+    deleted = read_deleted_ids(spark, index_dir)
 
     def decode(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = [
@@ -850,6 +872,7 @@ def docs_with_any(
             for g in pdf["doc_gaps"]
         ]
         out = np.unique(np.concatenate(ids)) if ids else np.zeros(0, np.int64)
+        out = out[not_deleted_mask(deleted, out)]
         return pd.DataFrame({"doc_id": out})
 
     return rows.groupBy("grp").applyInPandas(
@@ -891,9 +914,11 @@ def phrase_docs_indexed(
     rows = with_scoring_group(spark, index_dir, rows)
 
     words = list(phrase)
+    deleted = read_deleted_ids(spark, index_dir)
 
     def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         hits = _phrase_hits_segment(pdf, words)
+        hits = hits[not_deleted_mask(deleted, hits)]
         return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
 
     matched = rows.groupBy("grp").applyInPandas(
@@ -984,9 +1009,11 @@ def near_docs_indexed(
         .drop("bucket")
     )
     rows = with_scoring_group(spark, index_dir, rows)
+    deleted = read_deleted_ids(spark, index_dir)
 
     def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         hits = _near_hits_segment(pdf, term_a, term_b, slop, ordered)
+        hits = hits[not_deleted_mask(deleted, hits)]
         return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
 
     matched = rows.groupBy("grp").applyInPandas(

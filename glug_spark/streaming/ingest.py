@@ -293,6 +293,11 @@ def refresh_stats(spark: SparkSession, index_dir: str) -> dict:
         manifest = spark.read.parquet(smp).collect()
         done = {int(r["batch_id"]) for r in manifest}
         n_docs += sum(int(r["n_docs"] or 0) for r in manifest)
+    # docs physically removed by purges: params/manifest are immutable
+    # lineage, so the purge ledger is the only record they left
+    from glug_spark.index.deletes import purged_docs_total
+
+    n_docs -= purged_docs_total(spark, index_dir)
 
     stats_path = os.path.join(index_dir, "term_stats")
     state = (

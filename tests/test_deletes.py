@@ -1,0 +1,371 @@
+"""Document deletes: merge-on-read tombstones and physical purge.
+
+Differential strategy:
+- merge-on-read: every index query path on a tombstoned index must
+  equal the PRISTINE index's big-k result with the deleted docs
+  dropped and ranks reassigned (captured BEFORE tombstoning). Because
+  the pristine baseline runs at k + |deleted|, a deleted doc that used
+  to occupy the top-k cannot shadow the live doc that replaces it —
+  the θ-seeding property the kernel filter exists for.
+- purge: a purged index must match an index freshly built on the
+  corpus minus the deleted docs — term_stats rows, collection row,
+  docmap ids, and query results (reference behavior: the engine
+  rescans the filesystem per run, so a removed file simply vanishes;
+  an offline index must converge to the same state explicitly).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from glug_spark.index.deletes import (
+    delete_by_url_glob,
+    delete_docs,
+    maybe_purge,
+    not_deleted_mask,
+    purge_deletes,
+    purged_docs_total,
+    read_deleted_ids,
+)
+from glug_spark.index.pipeline import build_index, read_docmap
+from glug_spark.query import wand
+from glug_spark.query.execute import search_indexed
+from glug_spark.query.searcher import Searcher
+from tests.conftest import SF_DIR
+
+TERM_QUERIES = [
+    (["data"], False),
+    (["the", "dup"], False),
+    (["data", "join"], True),
+]
+COMPOSED = ["data join", "dat* -noise", 'the "table scan"']
+
+
+def _build(spark, src_dir: str, out_dir: str) -> None:
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "64")  # multi-segment layout at 500 docs
+    try:
+        build_index(spark, src_dir, out_dir, n_buckets=8)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _rerank(rows, deleted: set[int], k: int) -> list[tuple]:
+    kept = [r for r in rows if r["doc_id"] not in deleted][:k]
+    return [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(kept)]
+
+
+@pytest.fixture(scope="module")
+def mor(spark):
+    """Tombstoned index + pristine big-k baselines captured first."""
+    base = tempfile.mkdtemp(prefix="glug_deletes_mor_")
+    idx = os.path.join(base, "index")
+    _build(spark, SF_DIR, idx)
+
+    # delete docs that OCCUPY the current top ranks (θ-shadowing bait)
+    top = wand.wand_topk(spark, idx, ["data"], k=10, n_buckets=8).collect()
+    deleted = sorted({r["doc_id"] for r in top[:5]} | {3, 7, 450})
+    kbig = 10 + len(deleted)
+
+    base_rows: dict[str, list] = {}
+    for terms, conj in TERM_QUERIES:
+        base_rows[f"t:{' '.join(terms)}:{conj}"] = wand.wand_topk(
+            spark, idx, terms, k=kbig, conjunctive=conj, n_buckets=8
+        ).collect()
+    for q in COMPOSED:
+        base_rows[f"c:{q}"] = search_indexed(
+            spark, idx, q, k=kbig, n_buckets=8
+        ).collect()
+    base_rows["g:dat*"] = wand.glob_topk(
+        spark, idx, "dat*", k=kbig, n_buckets=8
+    ).collect()
+    base_rows["phrase"] = wand.phrase_docs_indexed(
+        spark, idx, ["table", "scan"], n_buckets=8
+    ).collect()
+    base_rows["near"] = wand.near_docs_indexed(
+        spark, idx, "table", "merge", slop=3, n_buckets=8
+    ).collect()
+    base_rows["any"] = wand.docs_with_any(
+        spark, idx, ["data", "dup"], n_buckets=8
+    ).collect()
+
+    s = delete_docs(spark, idx, deleted + [999_999])  # unknown id: harmless
+    assert s["tombstoned"] == len(deleted) + 1
+
+    yield {"idx": idx, "deleted": set(deleted), "kbig": kbig,
+           "base": base_rows}
+    shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.parametrize("terms,conj", TERM_QUERIES)
+def test_mor_topk_excludes_without_shadowing(spark, mor, terms, conj):
+    got = [tuple(r) for r in wand.wand_topk(
+        spark, mor["idx"], terms, k=10, conjunctive=conj, n_buckets=8
+    ).collect()]
+    expected = _rerank(
+        mor["base"][f"t:{' '.join(terms)}:{conj}"], mor["deleted"], 10
+    )
+    assert got == expected
+
+
+@pytest.mark.parametrize("q", COMPOSED)
+def test_mor_composed(spark, mor, q):
+    got = [tuple(r) for r in search_indexed(
+        spark, mor["idx"], q, k=10, n_buckets=8
+    ).collect()]
+    assert got == _rerank(mor["base"][f"c:{q}"], mor["deleted"], 10)
+
+
+def test_mor_glob(spark, mor):
+    got = [tuple(r) for r in wand.glob_topk(
+        spark, mor["idx"], "dat*", k=10, n_buckets=8
+    ).collect()]
+    assert got == _rerank(mor["base"]["g:dat*"], mor["deleted"], 10)
+
+
+def test_mor_positional_and_membership(spark, mor):
+    for key, df in [
+        ("phrase", wand.phrase_docs_indexed(
+            spark, mor["idx"], ["table", "scan"], n_buckets=8)),
+        ("near", wand.near_docs_indexed(
+            spark, mor["idx"], "table", "merge", slop=3, n_buckets=8)),
+        ("any", wand.docs_with_any(
+            spark, mor["idx"], ["data", "dup"], n_buckets=8)),
+    ]:
+        got = sorted(r["doc_id"] for r in df.collect())
+        expected = sorted(
+            r["doc_id"] for r in mor["base"][key]
+            if r["doc_id"] not in mor["deleted"]
+        )
+        assert got == expected, key
+
+
+def test_mor_searcher_paths(spark, mor):
+    """Searcher pins the tombstone set at open; every method matches
+    the (delete-aware) module path and never surfaces a deleted doc."""
+    idx, deleted = mor["idx"], mor["deleted"]
+    with Searcher(spark, idx, n_buckets=8, persist=False) as s:
+        for terms, conj in TERM_QUERIES:
+            assert (
+                [tuple(r) for r in s.topk(terms, k=10, conjunctive=conj)
+                 .collect()]
+                == [tuple(r) for r in wand.wand_topk(
+                    spark, idx, terms, k=10, conjunctive=conj, n_buckets=8
+                ).collect()]
+            )
+        for q in COMPOSED:
+            got = [tuple(r) for r in s.search(q, k=10).collect()]
+            assert got == [tuple(r) for r in search_indexed(
+                spark, idx, q, k=10, n_buckets=8).collect()]
+            assert not {d for _, d, _ in got} & deleted
+        many = s.topk_many({"a": ["data"], "b": ["the", "dup"]}, k=10)
+        assert not {r["doc_id"] for r in many.collect()} & deleted
+        manyc = s.search_many({"a": "data join", "b": "dat* -noise"}, k=10)
+        assert not {r["doc_id"] for r in manyc.collect()} & deleted
+        assert not {r["doc_id"]
+                    for r in s.phrase_docs(["table", "scan"]).collect()
+                    } & deleted
+        assert not {r["doc_id"]
+                    for r in s.near_docs("table", "merge", slop=3).collect()
+                    } & deleted
+
+
+def test_not_deleted_mask_properties():
+    deleted = np.array([2, 5, 9], dtype=np.int64)
+    ids = np.array([1, 2, 3, 5, 8, 9, 10], dtype=np.int64)
+    assert not_deleted_mask(deleted, ids).tolist() == [
+        True, False, True, False, True, False, True
+    ]
+    assert not_deleted_mask(None, ids).all()
+    assert not_deleted_mask(deleted, np.zeros(0, np.int64)).shape == (0,)
+    # ids beyond the largest tombstone never match (searchsorted clamp)
+    assert not_deleted_mask(deleted, np.array([11, 12])).all()
+
+
+@pytest.fixture(scope="module")
+def purged(spark):
+    """Index A: build → tombstone → purge. Index B: fresh build on the
+    corpus minus the same docs. A must converge to B."""
+    base = tempfile.mkdtemp(prefix="glug_deletes_purge_")
+    idx_a = os.path.join(base, "a")
+    idx_b = os.path.join(base, "b")
+    src_b = os.path.join(base, "src_b")
+    _build(spark, SF_DIR, idx_a)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    top = wand.wand_topk(spark, idx_a, ["data"], k=10, n_buckets=8).collect()
+    deleted = sorted({r["doc_id"] for r in top[:5]} | {3, 7, 450})
+
+    os.makedirs(src_b)
+    docs.where(~F.col("doc_id").isin(deleted)).write.parquet(
+        os.path.join(src_b, "documents.parquet")
+    )
+    _build(spark, src_b, idx_b)
+
+    delete_docs(spark, idx_a, deleted + [999_999])
+    summary = purge_deletes(spark, idx_a)
+    yield {"a": idx_a, "b": idx_b, "deleted": deleted, "summary": summary}
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_purge_summary(spark, purged):
+    s = purged["summary"]
+    assert s["purged_docs"] == len(purged["deleted"])  # unknown id ignored
+    assert s["tombstones"] == len(purged["deleted"]) + 1
+    assert s["rows_after"] <= s["rows_before"]
+    assert read_deleted_ids(spark, purged["a"]) is None  # cleared
+    assert purged_docs_total(spark, purged["a"]) == len(purged["deleted"])
+
+
+def test_purge_stats_match_fresh_build(spark, purged):
+    a = sorted(
+        tuple(r) for r in spark.read.parquet(
+            f"{purged['a']}/term_stats"
+        ).select("term", "df", "idf").collect()
+    )
+    b = sorted(
+        tuple(r) for r in spark.read.parquet(
+            f"{purged['b']}/term_stats"
+        ).select("term", "df", "idf").collect()
+    )
+    assert a == b
+    ca = spark.read.parquet(f"{purged['a']}/collection").collect()[0]
+    cb = spark.read.parquet(f"{purged['b']}/collection").collect()[0]
+    assert (ca["n_docs"], ca["total_tokens"]) == (cb["n_docs"],
+                                                  cb["total_tokens"])
+    assert ca["avgdl"] == pytest.approx(cb["avgdl"], rel=0, abs=0)
+
+
+@pytest.mark.parametrize("terms,conj", TERM_QUERIES)
+def test_purge_topk_matches_fresh_build(spark, purged, terms, conj):
+    a = [tuple(r) for r in wand.wand_topk(
+        spark, purged["a"], terms, k=10, conjunctive=conj, n_buckets=8
+    ).collect()]
+    b = [tuple(r) for r in wand.wand_topk(
+        spark, purged["b"], terms, k=10, conjunctive=conj, n_buckets=8
+    ).collect()]
+    assert a == b
+
+
+@pytest.mark.parametrize("q", COMPOSED)
+def test_purge_composed_matches_fresh_build(spark, purged, q):
+    a = [tuple(r) for r in search_indexed(
+        spark, purged["a"], q, k=10, n_buckets=8).collect()]
+    b = [tuple(r) for r in search_indexed(
+        spark, purged["b"], q, k=10, n_buckets=8).collect()]
+    assert a == b
+
+
+def test_purge_docmap_pruned(spark, purged):
+    ids_a = {r["doc_id"] for r in read_docmap(spark, purged["a"])
+             .select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in read_docmap(spark, purged["b"])
+             .select("doc_id").collect()}
+    assert ids_a == ids_b
+    assert not ids_a & set(purged["deleted"])
+
+
+def test_purge_rerun_is_noop(spark, purged):
+    s = purge_deletes(spark, purged["a"])
+    assert s["purged_docs"] == 0
+    n = spark.read.parquet(f"{purged['a']}/collection").collect()[0]["n_docs"]
+    nb = spark.read.parquet(f"{purged['b']}/collection").collect()[0]["n_docs"]
+    assert n == nb
+
+
+def test_refresh_stats_respects_ledger(spark, purged):
+    """The regression the purge ledger exists for: a stats refresh
+    after purge must NOT resurrect the purged docs from params+manifest."""
+    from glug_spark.streaming.ingest import refresh_stats
+
+    out = refresh_stats(spark, purged["a"])
+    nb = spark.read.parquet(f"{purged['b']}/collection").collect()[0]
+    assert out["n_docs"] == nb["n_docs"]
+    assert out["total_tokens"] == nb["total_tokens"]
+
+
+def test_ingest_after_purge_stats_exact(spark, tmp_path):
+    """delete → purge → stream-ingest: the folded stats must equal a
+    fresh build on (initial − deleted) ∪ wave."""
+    from glug_spark.streaming.ingest import ingest_available
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    initial = str(tmp_path / "initial")
+    arrivals = str(tmp_path / "arrivals")
+    idx = str(tmp_path / "index")
+    ref_src = str(tmp_path / "ref_src")
+    ref_idx = str(tmp_path / "ref_index")
+    os.makedirs(arrivals)
+
+    docs.where(F.col("doc_id") < 300).write.parquet(
+        os.path.join(initial, "documents.parquet")
+    )
+    build_index(spark, initial, idx, n_buckets=8)
+
+    deleted = [5, 17, 123, 250]
+    delete_docs(spark, idx, deleted)
+    purge_deletes(spark, idx)
+
+    docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 420)
+               ).write.parquet(os.path.join(arrivals, "wave.parquet"))
+    s = ingest_available(spark, arrivals, idx, n_buckets=8)
+    assert s["n_docs"] == 420 - len(deleted)
+
+    (docs.where((F.col("doc_id") < 420)
+                & ~F.col("doc_id").isin(deleted))
+     .write.parquet(os.path.join(ref_src, "documents.parquet")))
+    build_index(spark, ref_src, ref_idx, n_buckets=8)
+
+    ca = spark.read.parquet(f"{idx}/collection").collect()[0]
+    cb = spark.read.parquet(f"{ref_idx}/collection").collect()[0]
+    assert (ca["n_docs"], ca["total_tokens"]) == (cb["n_docs"],
+                                                  cb["total_tokens"])
+    a = sorted(tuple(r) for r in spark.read.parquet(f"{idx}/term_stats")
+               .select("term", "df", "idf").collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(f"{ref_idx}/term_stats")
+               .select("term", "df", "idf").collect())
+    assert a == b
+    for terms, conj in TERM_QUERIES:
+        qa = [tuple(r) for r in wand.wand_topk(
+            spark, idx, terms, k=10, conjunctive=conj, n_buckets=8
+        ).collect()]
+        qb = [tuple(r) for r in wand.wand_topk(
+            spark, ref_idx, terms, k=10, conjunctive=conj, n_buckets=8
+        ).collect()]
+        assert qa == qb, terms
+
+
+def test_delete_by_url_glob_and_policy(spark, tmp_path):
+    idx = str(tmp_path / "index")
+    _build(spark, SF_DIR, idx)
+    dm = read_docmap(spark, idx)
+    expected = sorted(
+        r["doc_id"] for r in dm.where(F.col("url").rlike(r"^src1\d$"))
+        .select("doc_id").collect()
+    )
+    assert expected  # src10..src19 exist at sf0.001
+    s = delete_by_url_glob(spark, idx, "src1[0-9]")
+    assert s["tombstoned"] == len(expected)
+    got = read_deleted_ids(spark, idx)
+    assert got is not None and got.tolist() == expected
+
+    # policy: below threshold → no-op; above → physical purge
+    assert maybe_purge(spark, idx, max_tombstones=len(expected)) is None
+    out = maybe_purge(spark, idx, max_tombstones=len(expected) - 1)
+    assert out is not None and out["purged_docs"] == len(expected)
+    assert read_deleted_ids(spark, idx) is None
+
+
+def test_empty_delete_is_noop(spark, tmp_path):
+    idx = str(tmp_path / "index")
+    _build(spark, SF_DIR, idx)
+    assert delete_docs(spark, idx, [])["tombstoned"] == 0
+    assert read_deleted_ids(spark, idx) is None
+    assert purge_deletes(spark, idx)["purged_docs"] == 0
