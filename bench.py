@@ -9,6 +9,10 @@ Default run (what the driver executes per round):
          "queries": {...per-query sec...}, "sf": <sf>,
          "build_sec": ..., "docs_per_sec": ..., "n_docs": ...}
 
+Scale sections (each also runnable standalone): --2m (query latency
+against the cached 2M-doc index), --pipeline (curation/dedup/ANN
+throughput), --deletes (tombstone/merge-on-read/purge lifecycle).
+
 Scaling protocol (BASELINE.md: efficiency ≥ 0.8 from N to 4N):
     python bench.py --scaling
         runs the identical build+query job at local[8] and local[32]
@@ -275,6 +279,27 @@ def _code_tag() -> str:
     return h.hexdigest()[:8]
 
 
+def _ensure_2m_index(spark, corpus_dir: str) -> "tuple[str, dict | None]":
+    """Build (once per encoder-source hash) the persisted 2M-doc index;
+    returns (index_dir, build timing or None when cached)."""
+    from glug_spark.index.pipeline import build_index
+
+    idx = f"/tmp/glug_bench_index_{SCALING_CORPUS_DOCS}_{_code_tag()}"
+    marker = os.path.join(idx, ".ok")
+    build_info = None
+    if not os.path.exists(marker):
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(spark, corpus_dir, idx, n_buckets=N_BUCKETS)
+        sec = time.perf_counter() - t0
+        build_info = {
+            "build_sec": round(sec, 2),
+            "docs_per_sec": round(SCALING_CORPUS_DOCS / sec, 1),
+        }
+        open(marker, "w").close()
+    return idx, build_info
+
+
 def run_2m(cpus: int) -> dict:
     """Query latency against the 2M-doc scaling-corpus index — the scale
     where block-max skipping, bucket pruning and selective position
@@ -285,7 +310,6 @@ def run_2m(cpus: int) -> dict:
     import statistics
 
     from glug_spark.session import get_spark
-    from glug_spark.index.pipeline import build_index
     from glug_spark.query.searcher import Searcher
 
     corpus_dir = _ensure_scaling_corpus()
@@ -293,19 +317,7 @@ def run_2m(cpus: int) -> dict:
                       shuffle_partitions=max(8, cpus))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 2**20))
     try:
-        idx = f"/tmp/glug_bench_index_{SCALING_CORPUS_DOCS}_{_code_tag()}"
-        marker = os.path.join(idx, ".ok")
-        build_info = None
-        if not os.path.exists(marker):
-            shutil.rmtree(idx, ignore_errors=True)
-            t0 = time.perf_counter()
-            build_index(spark, corpus_dir, idx, n_buckets=N_BUCKETS)
-            sec = time.perf_counter() - t0
-            build_info = {
-                "build_sec": round(sec, 2),
-                "docs_per_sec": round(SCALING_CORPUS_DOCS / sec, 1),
-            }
-            open(marker, "w").close()
+        idx, build_info = _ensure_2m_index(spark, corpus_dir)
 
         s = Searcher(spark, idx, n_buckets=N_BUCKETS, persist=True)
         qs = {
@@ -419,6 +431,108 @@ def run_2m(cpus: int) -> dict:
             }
         return result
     finally:
+        spark.stop()
+
+
+def run_deletes_2m(cpus: int) -> dict:
+    """Delete lifecycle at scale against the cached 2M-doc index:
+    tombstone a 1% contiguous doc range (the takedown-by-site shape),
+    measure the merge-on-read query overhead vs pristine, then purge a
+    COPY and measure the physical rewrite throughput + post-purge
+    latency. The shared cached index is restored to pristine at the
+    end (tombstones are metadata; only the copy is ever rewritten)."""
+    import statistics
+
+    from glug_spark.index.deletes import (
+        delete_docs, invalidate_deletes_cache, purge_deletes,
+        read_deleted_ids,
+    )
+    from glug_spark.session import get_spark
+    from glug_spark.query.searcher import Searcher
+
+    corpus_dir = _ensure_scaling_corpus()
+    spark = get_spark("glug_bench_del", master=f"local[{cpus}]",
+                      shuffle_partitions=max(8, cpus))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 2**20))
+    lo, hi = SCALING_CORPUS_DOCS // 2, SCALING_CORPUS_DOCS // 2 \
+        + SCALING_CORPUS_DOCS // 100
+
+    def _measure(index_dir: str) -> dict[str, float]:
+        s = Searcher(spark, index_dir, n_buckets=N_BUCKETS, persist=True)
+        qs = {
+            "wand_single": lambda: s.topk(["data"], k=10),
+            "wand_or": lambda: s.topk(["table", "scan", "merge"], k=100),
+            "search_composed": lambda: s.search(
+                'dat* -noise "table scan"', k=10
+            ),
+        }
+        for fn in qs.values():  # warm pass
+            fn().collect()
+        out = {}
+        for name, fn in qs.items():
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn().collect()
+                samples.append(time.perf_counter() - t0)
+            out[name] = round(statistics.median(samples), 4)
+        s.close()
+        return out
+
+    copy = None
+    idx = None
+    try:
+        idx, _ = _ensure_2m_index(spark, corpus_dir)
+        pristine = _measure(idx)
+
+        from pyspark.sql import functions as F
+
+        ids = spark.range(lo, hi).select(F.col("id").alias("doc_id"))
+        t0 = time.perf_counter()
+        delete_docs(spark, idx, ids)
+        tombstone_sec = time.perf_counter() - t0
+        n_del = len(read_deleted_ids(spark, idx))
+        mor = _measure(idx)
+
+        copy = tempfile.mkdtemp(prefix="glug_bench_delcopy_")
+        shutil.rmtree(copy)
+        shutil.copytree(idx, copy)
+        t0 = time.perf_counter()
+        summary = purge_deletes(spark, copy)
+        purge_sec = time.perf_counter() - t0
+        after = _measure(copy)
+
+        p50_pristine = round(statistics.median(pristine.values()), 4)
+        p50_mor = round(statistics.median(mor.values()), 4)
+        return {
+            "n_docs": SCALING_CORPUS_DOCS,
+            "n_deleted": int(n_del),
+            "tombstone_sec": round(tombstone_sec, 2),
+            "queries_pristine": pristine,
+            "queries_mor": mor,
+            "p50_pristine": p50_pristine,
+            "p50_mor": p50_mor,
+            "mor_overhead_pct": round(
+                (p50_mor / p50_pristine - 1) * 100, 1
+            ) if p50_pristine else None,
+            "purge": {
+                "sec": round(purge_sec, 2),
+                "purged_docs_per_sec": round(
+                    summary["purged_docs"] / purge_sec, 1
+                ),
+                "rows_before": summary["rows_before"],
+                "rows_after": summary["rows_after"],
+            },
+            "queries_purged": after,
+            "p50_purged": round(statistics.median(after.values()), 4),
+        }
+    finally:
+        if copy:
+            shutil.rmtree(copy, ignore_errors=True)
+        if idx:
+            # restore the shared cached index to pristine
+            shutil.rmtree(os.path.join(idx, "deletes"), ignore_errors=True)
+            invalidate_deletes_cache(idx)
         spark.stop()
 
 
@@ -648,12 +762,15 @@ def main() -> None:
         print(json.dumps(run_2m(CPUS)))
     elif args[:1] == ["--pipeline"]:
         print(json.dumps(run_pipeline_2m(CPUS)))
+    elif args[:1] == ["--deletes"]:
+        print(json.dumps(run_deletes_2m(CPUS)))
     else:
         r = run_once(CPUS, SF_DIR)
         # scale sections run in separate sessions; never let a
         # scale-corpus hiccup sink the whole bench line
         for key, fn in (("queries_2m", run_2m),
-                        ("pipeline_2m", run_pipeline_2m)):
+                        ("pipeline_2m", run_pipeline_2m),
+                        ("deletes_2m", run_deletes_2m)):
             try:
                 r[key] = fn(CPUS)
             except Exception as exc:  # noqa: BLE001 — report, don't die

@@ -162,6 +162,19 @@ def not_deleted_mask(deleted: "np.ndarray | None",
     return deleted[pos] != ids
 
 
+def resolve_deleted(deleted: object) -> "np.ndarray | None":
+    """Worker-side unwrap of the tombstone set: scorers accept either a
+    plain sorted array (one-shot module-function queries) or a Spark
+    ``Broadcast`` of it (the Searcher service shape — torrent-shipped
+    once per executor and reused across jobs, instead of re-pickling
+    the array into every query's task closure; at production tombstone
+    counts between purges that closure would be MBs per query)."""
+    if deleted is None:
+        return None
+    value = getattr(deleted, "value", None)
+    return value if value is not None else deleted  # type: ignore[return-value]
+
+
 def _make_purge_rewriter(
     deleted: np.ndarray,
 ) -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":

@@ -51,8 +51,15 @@ class Searcher:
         self.n_docs = int(coll["n_docs"])
         from glug_spark.index.deletes import read_deleted_ids
 
-        #: merge-on-read tombstone set, pinned at open like the segmap
-        self.deleted = read_deleted_ids(spark, index_dir)
+        #: merge-on-read tombstone set, pinned at open like the segmap.
+        #: Shipped as a Spark broadcast (torrent, cached per executor
+        #: across this Searcher's queries) instead of riding every
+        #: query job's task closure — at production tombstone counts
+        #: between purges the closure would re-serialize MBs per query.
+        arr = read_deleted_ids(spark, index_dir)
+        self.deleted = (
+            None if arr is None else spark.sparkContext.broadcast(arr)
+        )
         if persist:
             for df in (self.postings, self.term_stats):
                 df.persist()
@@ -64,6 +71,9 @@ class Searcher:
         for df in self._persisted:
             df.unpersist()
         self._persisted.clear()
+        if self.deleted is not None:
+            self.deleted.unpersist()
+            self.deleted = None
 
     def __enter__(self) -> "Searcher":
         return self
@@ -418,10 +428,12 @@ class Searcher:
         from pyspark.sql import types as T
 
         def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-            from glug_spark.index.deletes import not_deleted_mask
+            from glug_spark.index.deletes import (
+                not_deleted_mask, resolve_deleted,
+            )
 
             hits = wand._phrase_hits_segment(pdf, words)
-            hits = hits[not_deleted_mask(deleted, hits)]
+            hits = hits[not_deleted_mask(resolve_deleted(deleted), hits)]
             return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
 
         matched = rows.groupBy("grp").applyInPandas(
@@ -448,11 +460,13 @@ class Searcher:
         deleted = self.deleted
 
         def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-            from glug_spark.index.deletes import not_deleted_mask
+            from glug_spark.index.deletes import (
+                not_deleted_mask, resolve_deleted,
+            )
 
             hits = wand._near_hits_segment(pdf, term_a, term_b, slop,
                                            ordered)
-            hits = hits[not_deleted_mask(deleted, hits)]
+            hits = hits[not_deleted_mask(resolve_deleted(deleted), hits)]
             return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
 
         matched = rows.groupBy("grp").applyInPandas(

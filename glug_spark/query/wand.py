@@ -44,7 +44,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 
 from glug_spark.index import codec
 from glug_spark.index.build import K1, B
-from glug_spark.index.deletes import not_deleted_mask, read_deleted_ids
+from glug_spark.index.deletes import (
+    not_deleted_mask,
+    read_deleted_ids,
+    resolve_deleted,
+)
 from glug_spark.index.pipeline import python_bucket
 
 _SCORE_SCHEMA = T.StructType([
@@ -348,22 +352,24 @@ def _local_topk(cand: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
 def make_segment_scorer(
     terms: list[str], idfs: dict[str, float] | None,
     avgdl: float, k: int, conjunctive: bool,
-    deleted: "np.ndarray | None" = None,
+    deleted: "object | None" = None,
 ) -> "Callable[[pd.DataFrame], pd.DataFrame]":
     """Plain top-k scorer for one doc-space group. ``idfs=None`` reads
     idf from an ``idf`` row column instead (stats delivered by a
     broadcast join — saves the separate stats-lookup job). ``deleted``
-    is the sorted tombstone set (merge-on-read): filtered BEFORE
-    θ-seeding and top-k selection, so a deleted doc can neither appear
-    nor shadow a live doc out of the exact top-k."""
+    is the sorted tombstone set (merge-on-read) — a plain array or a
+    Spark Broadcast of it (see deletes.resolve_deleted): filtered
+    BEFORE θ-seeding and top-k selection, so a deleted doc can neither
+    appear nor shadow a live doc out of the exact top-k."""
     uniq_terms = list(dict.fromkeys(terms))
     static_idfs = idfs
-    tomb_filter = (
-        None if deleted is None
-        else (lambda cand, lists: not_deleted_mask(deleted, cand))
-    )
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        tombs = resolve_deleted(deleted)
+        tomb_filter = (
+            None if tombs is None
+            else (lambda cand, lists: not_deleted_mask(tombs, cand))
+        )
         idfs = static_idfs
         if idfs is None:
             meta = pdf.drop_duplicates("term").set_index("term")
@@ -378,8 +384,8 @@ def make_segment_scorer(
             cand = present[0]["ids"]
             for p in present[1:]:
                 cand = cand[np.isin(cand, p["ids"], assume_unique=True)]
-            if deleted is not None:
-                cand = cand[not_deleted_mask(deleted, cand)]
+            if tombs is not None:
+                cand = cand[not_deleted_mask(tombs, cand)]
             scores = _score_candidates(cand, lists, idfs, avgdl)
         else:
             groups = {t: g for t, g in pdf.groupby("term", sort=False)}
@@ -606,7 +612,7 @@ def _phrase_hits_segment(pdf: pd.DataFrame, words: list[str]) -> np.ndarray:
 def make_composed_scorer(
     n_groups: int, phrases: list[list[str]], avgdl: float, k: int,
     nears: "list[tuple[str, str, int, bool]] | None" = None,
-    deleted: "np.ndarray | None" = None,
+    deleted: "object | None" = None,
 ) -> "Callable[[pd.DataFrame], pd.DataFrame]":
     """Scorer for one doc-space group of a composed query.
 
@@ -625,6 +631,7 @@ def make_composed_scorer(
     }
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        tombs = resolve_deleted(deleted)
         meta = pdf.drop_duplicates("term").set_index("term")
         gmask = meta["gmask"].astype("int64").to_dict()
         is_neg = meta["is_neg"].astype(bool).to_dict()
@@ -697,7 +704,7 @@ def make_composed_scorer(
         neg_terms = [t for t in meta.index if is_neg.get(t)]
 
         def passes_filter(cand: np.ndarray, lists: dict) -> np.ndarray:
-            ok = not_deleted_mask(deleted, cand)
+            ok = not_deleted_mask(tombs, cand)
             if n_groups:
                 cover = np.zeros(len(cand), dtype=np.int64)
                 for t in scored:
@@ -763,7 +770,7 @@ def _composed_from_parts(
     phrases: list[list[str]], k: int,
     n_buckets: int,
     nears: "list[tuple[str, str, int, bool]] | None" = None,
-    deleted: "np.ndarray | None" = None,
+    deleted: "object | None" = None,
 ) -> DataFrame:
     """Shared tail of the composed path (module function + Searcher)."""
     nears = nears or []

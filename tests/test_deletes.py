@@ -369,3 +369,83 @@ def test_empty_delete_is_noop(spark, tmp_path):
     assert delete_docs(spark, idx, [])["tombstoned"] == 0
     assert read_deleted_ids(spark, idx) is None
     assert purge_deletes(spark, idx)["purged_docs"] == 0
+
+
+@pytest.mark.parametrize("seed", [11, 42, 99])
+def test_purge_random_differential(spark, tmp_path, seed):
+    """Randomized purge differential: any delete set → purged index
+    stats + results == fresh build on the filtered corpus."""
+    import random
+
+    rng = random.Random(seed)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .where(F.col("doc_id") < 150)
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    ref_src = str(tmp_path / "ref_src")
+    ref_idx = str(tmp_path / "ref_index")
+    docs.write.parquet(os.path.join(src, "documents.parquet"))
+    _build(spark, src, idx)
+
+    deleted = sorted(rng.sample(range(150), rng.randint(1, 40)))
+    delete_docs(spark, idx, deleted)
+    purge_deletes(spark, idx)
+
+    docs.where(~F.col("doc_id").isin(deleted)).write.parquet(
+        os.path.join(ref_src, "documents.parquet")
+    )
+    _build(spark, ref_src, ref_idx)
+
+    a = sorted(tuple(r) for r in spark.read.parquet(f"{idx}/term_stats")
+               .select("term", "df", "idf").collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(f"{ref_idx}/term_stats")
+               .select("term", "df", "idf").collect())
+    assert a == b
+    ca = spark.read.parquet(f"{idx}/collection").collect()[0]
+    cb = spark.read.parquet(f"{ref_idx}/collection").collect()[0]
+    assert (ca["n_docs"], ca["total_tokens"]) == (cb["n_docs"],
+                                                  cb["total_tokens"])
+    for terms, conj in TERM_QUERIES:
+        qa = [tuple(r) for r in wand.wand_topk(
+            spark, idx, terms, k=20, conjunctive=conj, n_buckets=8
+        ).collect()]
+        qb = [tuple(r) for r in wand.wand_topk(
+            spark, ref_idx, terms, k=20, conjunctive=conj, n_buckets=8
+        ).collect()]
+        assert qa == qb, (seed, terms)
+    pa = sorted(r["doc_id"] for r in wand.phrase_docs_indexed(
+        spark, idx, ["table", "scan"], n_buckets=8).collect())
+    pb = sorted(r["doc_id"] for r in wand.phrase_docs_indexed(
+        spark, ref_idx, ["table", "scan"], n_buckets=8).collect())
+    assert pa == pb
+
+
+def test_deletes_survive_compaction(spark, tmp_path):
+    """Tombstone → compact → query must equal compact-then-tombstone
+    (compaction rewrites postings but never the tombstone metadata);
+    purging the compacted index still converges to the fresh build."""
+    from glug_spark.index.compact import compact_index
+
+    idx = str(tmp_path / "index")
+    _build(spark, SF_DIR, idx)
+    base = wand.wand_topk(spark, idx, ["data"], k=30, n_buckets=8).collect()
+    deleted = sorted({r["doc_id"] for r in base[:6]})
+
+    delete_docs(spark, idx, deleted)
+    before = [tuple(r) for r in wand.wand_topk(
+        spark, idx, ["data"], k=10, n_buckets=8).collect()]
+    compact_index(spark, idx, min_run=8, merge_factor=4)
+    after = [tuple(r) for r in wand.wand_topk(
+        spark, idx, ["data"], k=10, n_buckets=8).collect()]
+    assert before == after
+    assert not {d for _, d, _ in after} & set(deleted)
+
+    # purge on the compacted layout still yields exact stats
+    s = purge_deletes(spark, idx)
+    assert s["purged_docs"] == len(deleted)
+    n = spark.read.parquet(f"{idx}/collection").collect()[0]["n_docs"]
+    total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert n == total - len(deleted)
+    final = [tuple(r) for r in wand.wand_topk(
+        spark, idx, ["data"], k=10, n_buckets=8).collect()]
+    assert not {d for _, d, _ in final} & set(deleted)
