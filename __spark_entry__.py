@@ -278,6 +278,44 @@ def _q_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_indexed(spark, d, query_vec_id=0, k=10)
 
 
+def _q_latest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl supersession over the canonical webtext shape: 10% of
+    urls carry a simulated next-snapshot re-fetch (+1 day); exactly one
+    row per url survives — the freshest (operators.curation.latest_crawl).
+    warc_ts rides as epoch seconds so the cross-engine hash compare
+    stays timestamp-free (same convention as corpus.WEBTEXT_SQL)."""
+    from glug_spark.operators.curation import latest_crawl
+
+    pages = corpus.webtext(spark, sf_dir).select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("long").alias("warc_epoch"),
+        "doc_id",
+    )
+    recrawl = pages.where(F.col("doc_id") % 10 == 0).withColumn(
+        "warc_epoch", (F.col("warc_epoch") + F.lit(86400)).cast("long")
+    )
+    return latest_crawl(pages.unionByName(recrawl), ts_col="warc_epoch")
+
+
+LATEST_CRAWL_SQL = f"""
+WITH w AS ({{webtext}}),
+crawls AS (
+    SELECT url, warc_epoch, doc_id FROM w
+    UNION ALL
+    SELECT url, warc_epoch + 86400 AS warc_epoch, doc_id
+    FROM w WHERE doc_id % 10 = 0
+),
+ranked AS (
+    SELECT url, warc_epoch, doc_id,
+           row_number() OVER (
+               PARTITION BY url ORDER BY warc_epoch DESC, doc_id DESC
+           ) AS rn
+    FROM crawls
+)
+SELECT url, warc_epoch, doc_id FROM ranked WHERE rn = 1
+"""
+
+
 _DELETES_CACHE: dict[str, tuple[str, str]] = {}
 
 
@@ -561,6 +599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": lambda s, d: __import__(
             "glug_spark.operators.curation", fromlist=["curate"]
         ).curate(_docs(s, d), min_quality=0.75, langs=["en"]),
+        # recrawl supersession: newest fetch per url wins (10% of urls
+        # carry a simulated next-snapshot re-fetch one day later)
+        "latest_crawl": _q_latest_crawl,
         "minhash_bands": lambda s, d: dedup.minhash_bands(_docs(s, d)),
         "dup_pairs_minhash": lambda s, d: dedup.dup_pairs_minhash(_docs(s, d)),
         # transitive closure over the candidate pairs: connected
@@ -725,6 +766,7 @@ def oracle_sql() -> dict[str, str]:
         "curation": __import__(
             "glug_spark.operators.curation", fromlist=["curate_sql"]
         ).curate_sql(min_quality=0.75, langs=["en"]),
+        "latest_crawl": LATEST_CRAWL_SQL.format(webtext=corpus.WEBTEXT_SQL),
         "minhash_bands": dedup.minhash_bands_sql()
         + " ORDER BY doc_id, band_id",
         "dup_pairs_minhash": dedup.dup_pairs_minhash_sql(),

@@ -135,3 +135,34 @@ JOIN l ON l.doc_id = d.doc_id
 WHERE d.doc_id NOT IN (SELECT doc_id FROM fuzzy_drop)
   AND q.quality >= {min_quality} {lang_clause}
 """
+
+
+def latest_crawl(pages: DataFrame, url_col: str = "url",
+                 ts_col: str = "warc_ts") -> DataFrame:
+    """Recrawl supersession: keep the NEWEST fetch per url.
+
+    The crawl-native dedup key — a Common-Crawl-style feed re-fetches
+    pages across snapshots, and every downstream stage (extract, index,
+    curate) must see exactly one row per url, the freshest. Ties (equal
+    ``warc_ts``, e.g. a crawler retry landing in the same second) break
+    on the larger ``doc_id`` so the result is deterministic under any
+    partitioning.
+
+    Plan shape at 100 TB: one hash-partition shuffle on url (the same
+    key the feed is naturally bucketed by, so with a bucketed source
+    table the exchange vanishes), a per-key max — no join-back: the
+    window's ``rank=1`` filter over (url) partitions is map-side after
+    the exchange. Skewed hosts are one-row-per-URL, so the key space is
+    ~uniform; AQE covers pathological single-url floods (a crawler
+    stuck re-fetching one page).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).desc(), F.col("doc_id").desc()
+    )
+    return (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -368,3 +368,42 @@ def test_curate_fuzzy_differential(spark):
     # and fuzzy is strictly stronger than exact-only curation here
     exact_only = curate(docs, min_quality=0.5, langs=["en"]).count()
     assert len(got) < exact_only
+
+
+def test_latest_crawl_supersession(spark):
+    """Newest fetch per url wins; equal-ts ties break on larger doc_id;
+    urls without a recrawl pass through untouched."""
+    from glug_spark.operators.curation import latest_crawl
+
+    rows = [
+        ("u1", 100, 1), ("u1", 200, 2),          # superseded
+        ("u2", 100, 3),                           # single fetch
+        ("u3", 100, 4), ("u3", 100, 5),           # tie → larger doc_id
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts long, doc_id long"
+    )
+    got = {
+        r["url"]: (r["warc_ts"], r["doc_id"])
+        for r in latest_crawl(pages).collect()
+    }
+    assert got == {"u1": (200, 2), "u2": (100, 3), "u3": (100, 5)}
+
+
+def test_latest_crawl_webtext_shape(spark):
+    """Over the canonical webtext corpus with simulated recrawls: one
+    row per url, and exactly the recrawled urls carry the newer ts."""
+    from glug_spark import corpus
+    from glug_spark.operators.curation import latest_crawl
+
+    pages = corpus.webtext(spark, SF_DIR).select(
+        "url", F.unix_timestamp("warc_ts").cast("long").alias("ts"),
+        "doc_id",
+    )
+    recrawl = pages.where(F.col("doc_id") % 10 == 0).withColumn(
+        "ts", F.col("ts") + F.lit(86400)
+    )
+    out = latest_crawl(pages.unionByName(recrawl), ts_col="ts").collect()
+    assert len(out) == pages.count()  # one per url (urls are unique)
+    bumped = {r["doc_id"] for r in out if r["ts"] - r["doc_id"] != 1735689600}
+    assert bumped == {r["doc_id"] for r in out if r["doc_id"] % 10 == 0}
