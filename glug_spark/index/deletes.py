@@ -243,6 +243,15 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> dict:
     params are deliberately untouched — they are build lineage, and a
     purged index still reads as "complete" to build resume.
 
+    Crash convergence: tombstones are cleared LAST, so re-running
+    purge after a crash at any intermediate point converges to the
+    same final state — the ledger append is idempotent (content-hash
+    purge_id), n_docs derives from immutable lineage − ledger (never
+    from the possibly-already-reduced collection row), the postings
+    rewrite of already-purged rows is a byte-identical pass-through,
+    and the docmap prune / stats write are plain overwrites.
+    (Crash-injection tested: tests/test_deletes.py.)
+
     I/O shape: one metadata-pruned pass over the postings —
     rows whose ``block_last`` max is below the smallest deleted id
     never reach the Python worker (JVM predicate), rows whose first

@@ -449,3 +449,58 @@ def test_deletes_survive_compaction(spark, tmp_path):
     final = [tuple(r) for r in wand.wand_topk(
         spark, idx, ["data"], k=10, n_buckets=8).collect()]
     assert not {d for _, d, _ in final} & set(deleted)
+
+
+def test_purge_crash_before_stats_write_converges(spark, tmp_path,
+                                                  monkeypatch):
+    """Crash injected between the postings swap + ledger append and the
+    stats write (the nastiest window: postings already shrunk, ledger
+    already says so, term_stats/collection still pre-purge). Re-running
+    purge must converge to exactly the fresh-build state — n_docs comes
+    from immutable lineage − ledger, never from the half-updated
+    collection row, so nothing is double-subtracted."""
+    import glug_spark.streaming.ingest as ingest_mod
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .where(F.col("doc_id") < 150)
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    ref_src = str(tmp_path / "ref_src")
+    ref_idx = str(tmp_path / "ref_index")
+    docs.write.parquet(os.path.join(src, "documents.parquet"))
+    _build(spark, src, idx)
+
+    deleted = [4, 40, 77, 120]
+    delete_docs(spark, idx, deleted)
+
+    real_write = ingest_mod._write_stats
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before stats write")
+
+    monkeypatch.setattr(ingest_mod, "_write_stats", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        purge_deletes(spark, idx)
+    monkeypatch.setattr(ingest_mod, "_write_stats", real_write)
+
+    # postings already rewritten, ledger already appended, tombstones
+    # still present → the rerun must not double-count
+    assert purged_docs_total(spark, idx) == len(deleted)
+    assert read_deleted_ids(spark, idx) is not None
+    s = purge_deletes(spark, idx)
+    assert s["purged_docs"] == len(deleted)
+    assert purged_docs_total(spark, idx) == len(deleted)  # no double row
+
+    docs.where(~F.col("doc_id").isin(deleted)).write.parquet(
+        os.path.join(ref_src, "documents.parquet")
+    )
+    _build(spark, ref_src, ref_idx)
+    ca = spark.read.parquet(f"{idx}/collection").collect()[0]
+    cb = spark.read.parquet(f"{ref_idx}/collection").collect()[0]
+    assert (ca["n_docs"], ca["total_tokens"]) == (cb["n_docs"],
+                                                  cb["total_tokens"])
+    a = sorted(tuple(r) for r in spark.read.parquet(f"{idx}/term_stats")
+               .select("term", "df", "idf").collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(f"{ref_idx}/term_stats")
+               .select("term", "df", "idf").collect())
+    assert a == b
