@@ -170,6 +170,12 @@ def main(argv: list[str] | None = None) -> int:
              "when the scoring-group count exceeds N (bounds per-query "
              "group fan-out under continuous ingest)",
     )
+    ing.add_argument(
+        "--auto-purge-tombstones", type=int, default=None, metavar="N",
+        help="delete-purge policy: after the drain (and any "
+             "compaction), physically purge when the pending tombstone "
+             "count exceeds N (bounds the merge-on-read working set)",
+    )
 
     de = sub.add_parser(
         "delete", help="tombstone documents (merge-on-read; no index I/O)"
@@ -291,6 +297,7 @@ def main(argv: list[str] | None = None) -> int:
                 validate_doc_ids=not args.no_validate_doc_ids,
                 probe_namespaces=args.probe_namespaces,
                 auto_compact_groups=args.auto_compact_groups,
+                auto_purge_tombstones=args.auto_purge_tombstones,
             )))
         elif args.command == "compact":
             from glug_spark.index.compact import compact_index

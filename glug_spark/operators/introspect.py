@@ -68,8 +68,15 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
     if os.path.exists(markers):
         orphaned = len(os.listdir(markers))
 
+    # delete state: pending tombstones (merge-on-read working set) and
+    # the purge ledger — n_docs everywhere is params + manifest − ledger
+    from glug_spark.index.deletes import purged_docs_total, read_deleted_ids
+
+    tombs = read_deleted_ids(spark, index_dir)
+    purged = purged_docs_total(spark, index_dir)
+
     return {
-        "n_docs": int(params["n_docs"]) + stream_docs,
+        "n_docs": int(params["n_docs"]) + stream_docs - purged,
         "n_buckets": int(params["n_buckets"]),
         "buckets_used": int(agg["buckets_used"]),
         "vocab_size": int(agg["vocab"]),
@@ -80,6 +87,8 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
         "max_doc_id": int(agg["max_doc_id"]) if agg["max_doc_id"] is not None else None,
         "stream_batches": stream_batches,
         "pending_attempt_markers": orphaned,
+        "pending_tombstones": int(len(tombs)) if tombs is not None else 0,
+        "purged_docs": purged,
         "avgdl": float(coll["avgdl"]) if coll else None,
         "bytes_on_disk": _dir_bytes(index_dir),
     }

@@ -497,6 +497,7 @@ def ingest_available(
     validate_doc_ids: bool = True,
     probe_namespaces: bool = False,
     auto_compact_groups: int | None = None,
+    auto_purge_tombstones: int | None = None,
 ) -> dict:
     """Drain everything currently available in ``input_dir`` into the
     index (Trigger.AvailableNow), then fold the new batches' stats once.
@@ -515,6 +516,14 @@ def ingest_available(
     with ingest history). The fold-before-compact ordering contract is
     satisfied by construction (the fold just ran). The summary gains a
     ``compacted`` key (None when the policy did not trigger).
+
+    ``auto_purge_tombstones``: delete-purge POLICY — after the drain
+    (and any compaction), physically purge iff the pending tombstone
+    count exceeds this bound (``deletes.maybe_purge``), keeping the
+    merge-on-read working set shipped to scoring workers purge-bounded
+    under continuous ingest+takedown operation. Runs after compaction
+    so the rewrite works on the coarsened layout. Summary gains a
+    ``purged`` key (None when the policy did not trigger).
     """
     checkpoint = checkpoint or os.path.join(index_dir, "stream_checkpoint")
     # recursive lookup: arrivals land as whole parquet DIRECTORIES
@@ -545,5 +554,11 @@ def ingest_available(
 
         summary["compacted"] = maybe_compact(
             spark, index_dir, max_groups=auto_compact_groups
+        )
+    if auto_purge_tombstones is not None:
+        from glug_spark.index.deletes import maybe_purge
+
+        summary["purged"] = maybe_purge(
+            spark, index_dir, max_tombstones=auto_purge_tombstones
         )
     return summary

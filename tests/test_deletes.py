@@ -504,3 +504,48 @@ def test_purge_crash_before_stats_write_converges(spark, tmp_path,
     b = sorted(tuple(r) for r in spark.read.parquet(f"{ref_idx}/term_stats")
                .select("term", "df", "idf").collect())
     assert a == b
+
+
+def test_ingest_auto_purge_policy(spark, tmp_path):
+    """Continuous-operation shape: tombstones pending → drain a new
+    wave with auto_purge_tombstones → the drain ends with the purge
+    applied and stats exact; index_stats reports the delete state."""
+    from glug_spark.operators.introspect import index_stats
+    from glug_spark.streaming.ingest import ingest_available
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    initial = str(tmp_path / "initial")
+    arrivals = str(tmp_path / "arrivals")
+    idx = str(tmp_path / "index")
+    os.makedirs(arrivals)
+    docs.where(F.col("doc_id") < 300).write.parquet(
+        os.path.join(initial, "documents.parquet")
+    )
+    build_index(spark, initial, idx, n_buckets=8)
+
+    deleted = [10, 20, 30]
+    delete_docs(spark, idx, deleted)
+    st = index_stats(spark, idx)
+    assert st["pending_tombstones"] == 3 and st["purged_docs"] == 0
+
+    docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 360)
+               ).write.parquet(os.path.join(arrivals, "wave.parquet"))
+    # threshold above the count → policy does not trigger
+    s = ingest_available(spark, arrivals, idx, n_buckets=8,
+                         auto_purge_tombstones=10)
+    assert s["purged"] is None
+    # tombstones are merge-on-read only — BM25 stats still count them
+    # until a purge (the Lucene live-docs contract)
+    assert s["n_docs"] == 360
+
+    # drain again with a triggering threshold (no new docs needed)
+    s2 = ingest_available(spark, arrivals, idx, n_buckets=8,
+                          auto_purge_tombstones=2)
+    assert s2["purged"] is not None
+    assert s2["purged"]["purged_docs"] == len(deleted)
+    st2 = index_stats(spark, idx)
+    assert st2["pending_tombstones"] == 0
+    assert st2["purged_docs"] == len(deleted)
+    assert st2["n_docs"] == 360 - len(deleted)
+    coll = spark.read.parquet(f"{idx}/collection").collect()[0]
+    assert coll["n_docs"] == 360 - len(deleted)
