@@ -86,14 +86,24 @@ def delete_docs(
     hits them."""
     if isinstance(doc_ids, DataFrame):
         df = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+        # one source scan, not two (count + write would re-run the
+        # url-glob docmap scan): persist the matched ids — tombstone
+        # sets are purge-bounded metadata, never corpus-sized
+        df.persist()
+        try:
+            n = df.count()
+            if n:
+                df.write.mode("append").parquet(_deletes_path(index_dir))
+        finally:
+            df.unpersist()
     else:
         ids = [int(d) for d in doc_ids]
         if not ids:
             return {"tombstoned": 0}
         df = spark.createDataFrame([(d,) for d in ids], "doc_id long")
-    n = df.count()
-    if n:
+        n = len(ids)
         df.write.mode("append").parquet(_deletes_path(index_dir))
+    if n:
         invalidate_deletes_cache(index_dir)
     return {"tombstoned": int(n)}
 

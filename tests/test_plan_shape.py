@@ -196,3 +196,33 @@ def test_full_scan_bm25_pushdown(spark):
     m = re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan)
     assert m, plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_deletes_add_no_plan_overhead(spark, plan_index):
+    """Tombstoning must not change the QUERY PLAN at all: the mask
+    lives inside the Arrow scorer (shipped via broadcast variable, not
+    a plan operator), so scan pruning, the single exchange, and the
+    one-job finalization are identical with and without deletes."""
+    import os
+    import shutil as _sh
+
+    from glug_spark.index.deletes import delete_docs
+
+    with Searcher(spark, plan_index, n_buckets=8, persist=False) as s:
+        before = _formatted(s.topk(["data", "join"], k=10))
+    delete_docs(spark, plan_index, [1, 2, 3])
+    try:
+        with Searcher(spark, plan_index, n_buckets=8, persist=False) as s:
+            after = _formatted(s.topk(["data", "join"], k=10))
+        assert re.search(r"PartitionFilters: \[.*bucket.* IN \(", after)
+        assert "In(term, [data,join])" in after
+        assert len(re.findall(r"\n\(\d+\) Exchange", after)) == 1
+        assert "TakeOrderedAndProject" in after
+        # no new operators of any kind appear
+        ops = lambda p: sorted(re.findall(r"\n\(\d+\) (\w+)", p))  # noqa: E731
+        assert ops(before) == ops(after)
+    finally:
+        _sh.rmtree(os.path.join(plan_index, "deletes"), ignore_errors=True)
+        from glug_spark.index.deletes import invalidate_deletes_cache
+
+        invalidate_deletes_cache(plan_index)
