@@ -690,18 +690,26 @@ def run_pipeline_2m(cpus: int) -> dict:
 
 
 def run_scaling(
-    sf_dir: str | None = None, low: int = 2, high: int = 8, repeats: int = 3
+    sf_dir: str | None = None, low: int = 2, high: int = 8,
+    repeats: int | None = None,
 ) -> dict:
     """Same job, two parallelism levels (N and 4N cores), fresh JVM each
     — the sandbox protocol for the N→4N executor-scaling criterion; see
     BASELINE.md. Each leg runs ``repeats`` times and keeps the best
     throughput: the sandbox VM sees hypervisor steal (5-11% st
     observed), and best-of-N approximates uncontended performance.
+    The query phase inside each pinned leg runs 1 timed repeat per
+    query after the warm pass (SPARK_GRAFT_QUERY_REPEATS=1): the
+    full-corpus queries (simhash, selectfilter) at 3 repeats on a
+    2-core 2M-doc leg would dominate the run budget — the headline
+    scaling metrics are build throughput and the batched-query job.
 
     Default pair is 2 vs 8 cores: this single VM's memory bandwidth
     saturates around 8-16 cores for this (bandwidth-heavy) job, so
     measuring above that regime benchmarks the VM, not the engine — a
     real 4N-executor cluster brings 4N× memory bandwidth with it."""
+    if repeats is None:
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     sf_dir = sf_dir or _ensure_scaling_corpus()
     results = {}
     for cpus in (low, high):
@@ -717,7 +725,8 @@ def run_scaling(
             proc = subprocess.run(
                 cmd,
                 capture_output=True, text=True,
-                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+                     "SPARK_GRAFT_QUERY_REPEATS": "1"},
                 check=True,
             )
             r = json.loads(proc.stdout.strip().splitlines()[-1])
