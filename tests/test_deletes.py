@@ -549,3 +549,88 @@ def test_ingest_auto_purge_policy(spark, tmp_path):
     assert st2["n_docs"] == 360 - len(deleted)
     coll = spark.read.parquet(f"{idx}/collection").collect()[0]
     assert coll["n_docs"] == 360 - len(deleted)
+
+
+# --- Spark-free kernel property: the purge rewriter round trip --------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from glug_spark.index import codec  # noqa: E402
+from glug_spark.index.deletes import _make_purge_rewriter  # noqa: E402
+from glug_spark.index.pipeline import ENCODED_SCHEMA  # noqa: E402
+
+
+def _encode_row(doc_ids, tfs, positions, term="t", segment=7):
+    """One encoded posting row (dict) the way the build lays it out."""
+    dls = np.asarray([t + 3 for t in tfs], dtype=np.int64)
+    pos_flat = (np.concatenate([np.asarray(p, np.uint64) for p in positions])
+                if positions and sum(len(p) for p in positions)
+                else np.zeros(0, np.uint64))
+    runs = codec.encode_runs(
+        np.zeros(len(doc_ids), dtype=np.int64),
+        np.asarray(doc_ids, np.int64), np.asarray(tfs, np.int64),
+        dls, pos_flat,
+    )
+    run = runs[0]
+    run.pop("run_start")
+    return {
+        "bucket": 0, "term": term, "segment": segment,
+        "cf_local": int(sum(tfs)), "lineage": None,
+        "n_docs_batch": len(doc_ids), **run,
+    }
+
+
+@st.composite
+def _postings(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    doc_ids = sorted(draw(st.sets(
+        st.integers(min_value=0, max_value=10_000), min_size=n, max_size=n
+    )))
+    tfs = [draw(st.integers(min_value=1, max_value=5)) for _ in doc_ids]
+    positions = [
+        sorted(draw(st.sets(st.integers(min_value=0, max_value=500),
+                            min_size=t, max_size=t)))
+        for t in tfs
+    ]
+    deleted = sorted(draw(st.sets(
+        st.sampled_from(doc_ids + [99_999]), min_size=1,
+        max_size=len(doc_ids) + 1,
+    )))
+    return doc_ids, tfs, positions, deleted
+
+
+@given(_postings())
+@settings(max_examples=150, deadline=None)
+def test_purge_rewriter_roundtrip_property(case):
+    """decode(rewrite(encode(postings))) == postings minus deleted, for
+    ids, tfs, doc lengths AND position lists; a fully-deleted run is
+    dropped; rows out of the deleted range pass through byte-identical."""
+    import pandas as pd
+
+    doc_ids, tfs, positions, deleted = case
+    row = _encode_row(doc_ids, tfs, positions)
+    cols = [f.name for f in ENCODED_SCHEMA]
+    rewrite = _make_purge_rewriter(np.asarray(deleted, np.int64))
+    out = list(rewrite(iter([pd.DataFrame([row], columns=cols)])))
+    rows = pd.concat(out).to_dict("records") if out and len(out[0]) else []
+
+    expected = [
+        (d, t, p) for d, t, p in zip(doc_ids, tfs, positions)
+        if d not in set(deleted)
+    ]
+    if not expected:
+        assert rows == []
+        return
+    assert len(rows) == 1
+    got = rows[0]
+    ids2, tfs2, dls2 = codec.decode_segment(got)
+    assert ids2.tolist() == [d for d, _, _ in expected]
+    assert tfs2.tolist() == [t for _, t, _ in expected]
+    assert dls2.tolist() == [t + 3 for _, t, _ in expected]
+    plists = codec.decode_positions(got["positions"], tfs2)
+    assert [p.tolist() for p in plists] == [list(p) for _, _, p in expected]
+    assert got["cf_local"] == sum(t for _, t, _ in expected)
+    # untouched row passes through byte-identical (no re-encode drift)
+    if len(expected) == len(doc_ids):
+        assert got["doc_gaps"] == row["doc_gaps"]
+        assert got["positions"] == row["positions"]
