@@ -307,3 +307,73 @@ SELECT DISTINCT doc_id,
                     ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp_hash
 FROM grams
 """
+
+
+def top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document TF-IDF keywords: (doc_id, rank, term, tfidf) — the
+    labeling/filtering primitive a training-data pipeline uses for
+    topic bucketing and domain mixing before sampling.
+
+    tfidf = tf · ln((N + 1) / (df + 1)) (smoothed, always ≥ 0);
+    deterministic ties break term-ascending. Plan shape at 100 TB: the
+    same (term, doc_id) aggregate as postings_build, term df by one
+    more vocab-sized agg delivered back as a BROADCAST join (never a
+    corpus shuffle), then a per-doc window — partitioned by doc_id, the
+    key the postings aggregate already produced, so with AQE the window
+    reuses the (term, doc_id) exchange's doc-side co-location rather
+    than adding a corpus-wide sort."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(token_array()).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+def top_terms_sql(k: int = 5) -> str:
+    """DuckDB differential twin of :func:`top_terms`."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+stats AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * ln((n.n + 1.0) / (s.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN stats s USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+           ) AS rank
+    FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+FROM ranked WHERE rank <= {k}
+"""

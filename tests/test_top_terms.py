@@ -1,0 +1,39 @@
+"""Per-document TF-IDF keyword extraction vs the DuckDB oracle
+(tested here rather than on the driver scoreboard: the scoreboard sits
+exactly at the driver's 50-row cap — same differential rigor, local)."""
+
+from __future__ import annotations
+
+from glug_spark.operators.textstats import top_terms, top_terms_sql
+from tests.conftest import SF_DIR
+
+
+def test_top_terms_matches_oracle(spark, duck):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in top_terms(docs, k=5).collect()
+    )
+    expected = sorted(tuple(r) for r in duck.execute(top_terms_sql(k=5)).fetchall())
+    assert len(got) == len(expected)
+    for a, b in zip(got, expected):
+        assert a[:3] == b[:3], (a, b)
+        assert abs(a[3] - b[3]) < 1e-9, (a, b)
+
+
+def test_top_terms_shape_and_determinism(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = top_terms(docs, k=3)
+    rows = out.collect()
+    # ≤ k per doc, ranks contiguous from 1, deterministic tie order
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        pairs = [(-r["tfidf"], r["term"]) for r in rs]
+        assert pairs == sorted(pairs), doc_id
+    # run twice → identical (window determinism under re-planning)
+    again = sorted(tuple(r) for r in top_terms(docs, k=3).collect())
+    assert again == sorted(tuple(r) for r in rows)
