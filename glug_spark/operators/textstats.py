@@ -377,3 +377,42 @@ ranked AS (
 SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
 FROM ranked WHERE rank <= {k}
 """
+
+
+def stopwords(docs: DataFrame, min_df_ratio: float = 0.5) -> DataFrame:
+    """Corpus-derived stopword list: (term, df, df_ratio) for every
+    term present in at least ``min_df_ratio`` of documents — the
+    companion of :func:`top_terms` (what tf-idf down-weights, made
+    explicit for tokenizer/quality configs). Vocab-sized output; one
+    (term, doc_id)-distinct aggregate and a scalar broadcast — no
+    corpus-sized join."""
+    df_ = (
+        docs.select("doc_id", F.explode(token_array()).alias("term"))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    return (
+        df_.crossJoin(F.broadcast(n_docs))
+        .withColumn("df_ratio", F.round(F.col("df") / F.col("n"), 6))
+        .where(F.col("df_ratio") >= min_df_ratio)
+        .select("term", "df", "df_ratio")
+        .orderBy("term")
+    )
+
+
+def stopwords_sql(min_df_ratio: float = 0.5) -> str:
+    """DuckDB differential twin of :func:`stopwords`."""
+    return f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+    FROM documents
+),
+df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT term, df, round(CAST(df AS DOUBLE) / n.n, 6) AS df_ratio
+FROM df CROSS JOIN n
+WHERE CAST(df AS DOUBLE) / n.n >= {min_df_ratio}
+ORDER BY term
+"""

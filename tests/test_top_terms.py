@@ -37,3 +37,14 @@ def test_top_terms_shape_and_determinism(spark):
     # run twice → identical (window determinism under re-planning)
     again = sorted(tuple(r) for r in top_terms(docs, k=3).collect())
     assert again == sorted(tuple(r) for r in rows)
+
+
+def test_stopwords_matches_oracle(spark, duck):
+    from glug_spark.operators.textstats import stopwords, stopwords_sql
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = [tuple(r) for r in stopwords(docs, min_df_ratio=0.3).collect()]
+    expected = duck.execute(stopwords_sql(min_df_ratio=0.3)).fetchall()
+    assert len(got) == len(expected) and got
+    for a, b in zip(got, expected):
+        assert a[:2] == b[:2] and abs(a[2] - b[2]) < 1e-9, (a, b)
