@@ -114,8 +114,20 @@ def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an under-split input to cluster width —
+    a single small parquet file otherwise runs the whole scan-bound
+    filter on one task (guide §2.5 input skew); no-op at scale where
+    inputs carry >= cores splits. Results are row-identical (the
+    operators are per-row expressions)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
+    return _spread(_docs(spark, sf_dir)).select(
         "doc_id", F.expr(corpus.path_sql()).alias("path")
     )
 
@@ -162,7 +174,8 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
         from glug_spark.index.pipeline import build_index
 
         d = tempfile.mkdtemp(prefix="glug_entry_index_")
-        build_index(spark, sf_dir, d, n_buckets=8)
+        # doc_store=True: index_wand_topk serves snippets from the docmap
+        build_index(spark, sf_dir, d, n_buckets=8, doc_store=True)
         _INDEX_CACHE[sf_dir] = d
     return d
 

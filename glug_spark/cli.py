@@ -69,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--output", required=True)
     b.add_argument("--buckets", type=int, default=16)
     b.add_argument("--resume", action="store_true")
+    b.add_argument(
+        "--doc-store", action="store_true",
+        help="store full document text in the docmap (required to serve "
+        "query --snippets; roughly doubles the build's write volume)",
+    )
 
     q = sub.add_parser("query", help="BM25 top-k from the index")
     q.add_argument("query")
@@ -113,6 +118,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--min-run", type=int, default=64)
     c.add_argument("--merge-factor", type=int, default=32)
+    c.add_argument(
+        "--min-groups", type=int, default=None,
+        help="floor on post-compaction scoring groups (default: "
+        "2x cluster cores; groups bound per-query scorer parallelism). "
+        "Pass 1 to force full coarsening.",
+    )
 
     st = sub.add_parser(
         "stats", help="index introspection: one JSON line of sizes, "
@@ -211,6 +222,7 @@ def main(argv: list[str] | None = None) -> int:
             summary = build_index(
                 spark, args.input, args.output,
                 n_buckets=args.buckets, resume=args.resume,
+                doc_store=args.doc_store,
             )
             print(json.dumps(summary))
         elif args.command == "query":
@@ -305,6 +317,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(compact_index(
                 spark, args.index,
                 min_run=args.min_run, merge_factor=args.merge_factor,
+                min_groups=args.min_groups,
             )))
         elif args.command == "delete":
             from glug_spark.index.deletes import (

@@ -126,24 +126,46 @@ def fragmentation(spark: SparkSession, index_dir: str) -> dict:
     return {"n_segments": int(n_segments), "n_groups": int(n_groups)}
 
 
+def default_min_groups(spark: SparkSession) -> int:
+    """Scale-adaptive floor on the post-compaction scoring-group count.
+
+    Every query's Arrow scorer runs ONE task per group its terms touch,
+    so the group count bounds per-query parallelism: round 5 compacted
+    a 2M-doc index's ~220 segments into 7 groups and warm query p50
+    regressed 1.7× (0.178 s → 0.30 s) — 7 tasks on 32 cores. Two
+    groups per core keeps the scorer wave-parallel with a small
+    straggler cushion; derived from ``defaultParallelism`` (= cluster
+    cores), not a local constant, so a 1000-executor cluster floors at
+    its own width while huge indexes (segments ≫ floor) still coarsen
+    by the full ``merge_factor``."""
+    return max(1, 2 * spark.sparkContext.defaultParallelism)
+
+
 def maybe_compact(
     spark: SparkSession,
     index_dir: str,
     max_groups: int,
     min_run: int = 64,
     merge_factor: int = 32,
+    min_groups: int | None = None,
 ) -> dict | None:
     """Compaction POLICY: compact when the scoring-group count exceeds
     ``max_groups``, else no-op (returns None). The trigger is the group
     count (not raw segments) so repeated drains don't re-compact an
     already-coarsened index; each compaction divides the group count by
     ``merge_factor``, so a steady ingest stream stabilizes around
-    ``max_groups`` with O(log) compactions per epoch."""
+    ``max_groups`` with O(log) compactions per epoch. The parallelism
+    floor is clamped to ``max_groups // 2`` so the policy keeps
+    hysteresis headroom: a floor at (or above) the trigger would make
+    every drain's single new segment re-trigger a full rewrite."""
     frag = fragmentation(spark, index_dir)
     if frag["n_groups"] <= max_groups:
         return None
+    if min_groups is None:
+        min_groups = default_min_groups(spark)
     summary = compact_index(
-        spark, index_dir, min_run=min_run, merge_factor=merge_factor
+        spark, index_dir, min_run=min_run, merge_factor=merge_factor,
+        min_groups=min(min_groups, max(1, max_groups // 2)),
     )
     summary["trigger_groups"] = frag["n_groups"]
     return summary
@@ -216,6 +238,7 @@ def compact_index(
     index_dir: str,
     min_run: int = 64,
     merge_factor: int = 32,
+    min_groups: int | None = None,
 ) -> dict:
     """Coarsen the scoring segmentation and merge fragmented tail runs.
 
@@ -224,6 +247,16 @@ def compact_index(
     by :func:`ensure_stream_consistent` (rewriting rows of an
     unrecovered or unfolded stream batch would corrupt ingest
     recovery/stats accounting).
+
+    ``min_groups`` floors the post-compaction scoring-group count
+    (``None`` → :func:`default_min_groups`, ~2 groups per cluster
+    core): groups bound per-query scorer parallelism, so coarsening
+    below the cluster width trades query latency for metadata — the
+    round-5 regression. When the floor binds, the effective merge
+    factor shrinks so exactly ~``min_groups`` groups survive; with
+    segments ≫ floor (any large index) the requested ``merge_factor``
+    applies unchanged. Pass ``min_groups=1`` to force full coarsening
+    (tests / single-core tools).
     """
     from glug_spark.query import wand as _wand  # segmap cache invalidation
 
@@ -248,8 +281,15 @@ def compact_index(
         )
     pairs = old_map.collect()  # one row per ORIGINAL segment: metadata-scale
     cur_grps = sorted({int(r["grp"]) for r in pairs})
+    if min_groups is None:
+        min_groups = default_min_groups(spark)
+    n_cur = len(cur_grps)
+    # target group count: full merge_factor coarsening, floored at the
+    # parallelism floor (never raised above the current count)
+    n_target = max(-(-n_cur // merge_factor), min(n_cur, max(1, min_groups)))
+    chunk = max(1, -(-n_cur // n_target))
     regroup = {
-        g: cur_grps[(i // merge_factor) * merge_factor]
+        g: cur_grps[(i // chunk) * chunk]
         for i, g in enumerate(cur_grps)
     }
     new_map = [(int(r["segment"]), regroup[int(r["grp"])]) for r in pairs]
@@ -303,5 +343,6 @@ def compact_index(
         "rows_after": after,
         "min_run": min_run,
         "merge_factor": merge_factor,
+        "min_groups": int(min_groups),
         "groups": len({g for _, g in new_map}),
     }

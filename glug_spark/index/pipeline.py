@@ -93,32 +93,39 @@ def doc_bucket_col(n_doc_buckets: int = N_DOC_BUCKETS) -> F.Column:
 
 
 def write_docmap(docs: "DataFrame", out_dir: str, sb: int,
-                 n_doc_buckets: int = N_DOC_BUCKETS) -> None:
-    """(doc_id, url, text) for one source batch →
+                 n_doc_buckets: int = N_DOC_BUCKETS,
+                 doc_store: bool = False) -> None:
+    """(doc_id, url[, text]) for one source batch →
     docmap/sb=<sb>/doc_bucket=*.
 
     ``url`` is the corpus's ``source`` column (the synthetic stand-in
-    for a crawl URL); absent → NULL. ``text`` makes the map a forward
-    doc STORE (Lucene stored-fields analog) so result snippets are a
-    pruned k-row lookup too; parquet column pruning means url-only
-    lookups never read the text bytes. mode=overwrite per sb sub-tree
-    makes stream-batch replays idempotent (no duplicate map rows)."""
+    for a crawl URL); absent → NULL. ``doc_store=True`` additionally
+    stores ``text``, making the map a forward doc STORE (Lucene
+    stored-fields analog) so result snippets are a pruned k-row lookup
+    too; parquet column pruning means url-only lookups never read the
+    text bytes. The default is url-only: storing full text doubled the
+    build's write volume (sf0.1 build throughput −30% in round 5) and
+    only ``--snippets`` serving needs it. mode=overwrite per sb
+    sub-tree makes stream-batch replays idempotent (no duplicate map
+    rows)."""
     import shutil as _shutil
 
     url = (
         F.col("source").cast("string") if "source" in docs.columns
         else F.lit(None).cast("string")
     )
-    text = (
-        F.col("text").cast("string") if "text" in docs.columns
-        else F.lit(None).cast("string")
-    )
+    cols = [F.col("doc_id").cast("long").alias("doc_id"), url.alias("url")]
+    if doc_store:
+        text = (
+            F.col("text").cast("string") if "text" in docs.columns
+            else F.lit(None).cast("string")
+        )
+        cols.append(text.alias("text"))
     path = os.path.join(out_dir, DOCMAP_DIR, f"sb={int(sb)}")
     if os.path.exists(path):
         _shutil.rmtree(path)
     (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                    url.alias("url"), text.alias("text"))
+        docs.select(*cols)
         .withColumn("doc_bucket", doc_bucket_col(n_doc_buckets))
         # co-locate each bucket before the dynamic-partition write:
         # without it every task fans out one file per bucket it sees
@@ -151,6 +158,20 @@ def docmap_n_buckets(spark: SparkSession, index_dir: str) -> int:
     except Exception:
         n = None
     return int(n) if n is not None else N_DOC_BUCKETS
+
+
+def index_doc_store(spark: SparkSession, index_dir: str) -> bool:
+    """Whether this index's docmap stores full text (params flag;
+    pre-flag indexes are probed by the docmap schema)."""
+    p = spark.read.parquet(os.path.join(index_dir, "params")).collect()[0]
+    try:
+        v = p["doc_store"]
+    except Exception:
+        v = None
+    if v is not None:
+        return bool(v)
+    dm = read_docmap(spark, index_dir)
+    return dm is not None and "text" in dm.columns
 
 
 def batch_lineage(files: list[str], first_doc: int, n_docs: int) -> str:
@@ -292,6 +313,12 @@ def _make_partition_encoder(
     return encode
 
 
+#: adaptive-parallelism floor: never split the corpus into segments of
+#: fewer docs than this (tiny segments inflate per-run metadata without
+#: adding useful scan/score parallelism)
+MIN_DOCS_PER_SEGMENT = 1_000
+
+
 def build_index(
     spark: SparkSession,
     sf_dir: str,
@@ -299,6 +326,7 @@ def build_index(
     n_buckets: int = 16,
     n_segments: int | None = None,
     resume: bool = False,
+    doc_store: bool = False,
 ) -> dict:
     """Build the full index; returns the counter summary dict."""
     from glug_spark.sources.tables import read_table
@@ -314,6 +342,10 @@ def build_index(
     if resume and os.path.exists(params_path):
         p = spark.read.parquet(params_path).collect()[0]
         n_buckets, n_docs = p["n_buckets"], p["n_docs"]
+        try:  # a resumed build keeps its original docmap layout
+            doc_store = bool(p["doc_store"])
+        except Exception:
+            pass
         if os.path.exists(manifest_path):
             for r in (spark.read.parquet(manifest_path)
                       .select("segment", "lineage", "n_docs_batch").collect()):
@@ -342,9 +374,9 @@ def build_index(
         n_docs = docs.count()
         spark.createDataFrame(
             [(int(n_buckets), int(n_docs), os.path.abspath(sf_dir),
-              int(N_DOC_BUCKETS))],
+              int(N_DOC_BUCKETS), bool(doc_store))],
             "n_buckets int, n_docs long, input_path string, "
-            "n_doc_buckets int",
+            "n_doc_buckets int, doc_store boolean",
         ).write.mode("overwrite").parquet(params_path)
 
     # ZERO-shuffle build: mapInPandas over the input splits; each Arrow
@@ -361,6 +393,22 @@ def build_index(
         # production path leaves this None — input splits ARE the
         # segmentation, no shuffle.
         src = src.repartition(n_segments)
+    else:
+        # scale-adaptive parallelism (guide §2.5 "input skew"): a corpus
+        # that arrives as fewer input splits than the cluster has cores
+        # (one small parquet file is the common case) would otherwise
+        # run the whole encode — and, downstream, every per-group query
+        # scorer — on a handful of tasks. Round-robin repartition to
+        # ~2 tasks/core, floored at MIN_DOCS_PER_SEGMENT docs per
+        # segment. At scale inputs carry >= cores splits and this is a
+        # no-op (the zero-shuffle posture is unchanged); the shuffle it
+        # introduces here moves only the under-split corpus itself.
+        par = spark.sparkContext.defaultParallelism
+        n_parts = src.rdd.getNumPartitions()
+        if n_parts < par:
+            target = min(2 * par, max(1, int(n_docs) // MIN_DOCS_PER_SEGMENT))
+            if target > n_parts:
+                src = src.repartition(target)
     encoded = src.mapInPandas(
         _make_partition_encoder(n_buckets, done_lineages, attempt),
         schema=ENCODED_SCHEMA,
@@ -377,7 +425,7 @@ def build_index(
 
     # --- docmap: result join-back side table / forward doc store
     # (doc_id-bucketed so a k-row lookup prunes to ≤k partitions) ------
-    write_docmap(docs, out_dir, sb=-1)
+    write_docmap(docs, out_dir, sb=-1, doc_store=doc_store)
 
     # --- stats + manifest from the encoded index (no corpus re-scan) ----
     enc_df = spark.read.parquet(os.path.join(out_dir, "postings"))

@@ -19,8 +19,7 @@ Scale notes:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 
 from glug_spark.index.build import shingle_array, token_array
 
@@ -543,63 +542,105 @@ def _token_hashes(uniques: "np.ndarray | pd.Index") -> "np.ndarray":
     return np.frombuffer(b"".join(out), dtype=">u8").astype(np.uint64)
 
 
-@F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash per text — O(batch) NumPy, no per-token Python.
+#: token pattern for the C-level Arrow tokenizer: splitting on runs of
+#: NON-word chars (RE2 \p classes) yields exactly re.findall(r"\w+")'s
+#: tokens after dropping the empty edge strings (differentially tested
+#: against the Python tokenizer in tests)
+_NONWORD_SPLIT = r"[^\p{L}\p{N}_]+"
 
-    Per Arrow batch: tokenize, ``pd.factorize`` to hash only the UNIQUE
-    tokens (Zipf makes uniques ≪ occurrences), build the (uniques, 64)
-    ±1 vote matrix once, then a single C-level scatter-add accumulates
-    every token occurrence's votes into its doc row. The hash of a
-    token is the big-endian first 8 bytes of md5 — reproducible in
-    oracle SQL (see ``simhash_sql``).
-    """
-    import re as _re
 
-    pat = _re.compile(r"\w+", _re.UNICODE)
-    n = len(texts)
-    token_lists = [pat.findall(t or "") for t in texts]
-    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
-    flat = pd.Series(
-        [tok for lst in token_lists for tok in lst], dtype="object"
-    )
+def _simhash_batch(texts: "pa.Array", n: int) -> np.ndarray:
+    """64-bit SimHash per text for one Arrow batch — C-level end to end.
+
+    Tokenize with Arrow's RE2 split (no per-doc Python regex, no Python
+    token strings except the UNIQUE vocabulary), ``dictionary_encode``
+    to hash only the uniques (Zipf: uniques ≪ occurrences), then
+    accumulate the ±1 bit votes. Two accumulation strategies by batch
+    shape: a dense (docs × uniques) count matrix + one BLAS matmul when
+    that matrix is small (always true for corpus-like vocabularies),
+    else the sparse (doc, code) pair-count path. The hash of a token is
+    the big-endian first 8 bytes of md5 — reproducible in oracle SQL
+    (see ``simhash_sql``)."""
+    import pyarrow.compute as pc
+
+    splits = pc.split_pattern_regex(texts, _NONWORD_SPLIT)
+    flat = pc.list_flatten(splits)
+    parent = pc.list_parent_indices(splits)
+    keep = pc.not_equal(flat, "")
+    flat = pc.filter(flat, keep)
+    parent = pc.filter(parent, keep)
     if not len(flat):
-        return pd.Series(np.zeros(n, dtype=np.int64))
-    codes, uniques = pd.factorize(flat, sort=False)
+        return np.zeros(n, dtype=np.int64)
+    dic = pc.dictionary_encode(flat)
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = dic.dictionary.to_pylist()
+
     hashes = _token_hashes(uniques)
     shifts = np.arange(64, dtype=np.uint64)
     votes = (
         ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.float64)
         * 2.0 - 1.0
     )  # (uniques, 64) in {-1, +1}
-    # compress occurrences to (doc, code) pair counts (Zipf: pairs ≪
-    # tokens), then accumulate via per-bit bincount — C-speed weighted
-    # histograms beat np.add.at scatter by ~20×. Doubles are exact here
-    # (|votes·count| ≤ tokens/doc ≪ 2^53).
     n_uniq = len(uniques)
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-    pair, pcounts = np.unique(
-        doc_idx * np.int64(n_uniq) + codes, return_counts=True
-    )
-    pdoc = (pair // n_uniq).astype(np.int64)
-    pcode = (pair % n_uniq).astype(np.int64)
-    w = pcounts.astype(np.float64)
-    acc = np.empty((n, 64), dtype=np.float64)
-    for j in range(64):
-        acc[:, j] = np.bincount(pdoc, weights=w * votes[pcode, j], minlength=n)
+    # doubles are exact throughout (|votes·count| ≤ tokens/doc ≪ 2^53)
+    if n * n_uniq <= 16_000_000:
+        # dense: per-doc term-count matrix, votes via one matmul
+        counts = np.bincount(
+            doc_idx * np.int64(n_uniq) + codes, minlength=n * n_uniq
+        ).astype(np.float64).reshape(n, n_uniq)
+        acc = counts @ votes
+    else:
+        # sparse: compress occurrences to (doc, code) pair counts, then
+        # per-bit weighted bincounts (C-speed histograms)
+        pair, pcounts = np.unique(
+            doc_idx * np.int64(n_uniq) + codes, return_counts=True
+        )
+        pdoc = (pair // n_uniq).astype(np.int64)
+        pcode = (pair % n_uniq).astype(np.int64)
+        w = pcounts.astype(np.float64)
+        acc = np.empty((n, 64), dtype=np.float64)
+        for j in range(64):
+            acc[:, j] = np.bincount(
+                pdoc, weights=w * votes[pcode, j], minlength=n
+            )
     packed = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
         axis=1, dtype=np.uint64
     )
-    return pd.Series(packed.view(np.int64))  # two's-complement reinterpret
+    return packed.view(np.int64)  # two's-complement reinterpret
+
+
+def _simhash_map(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+    """mapInArrow worker: (doc_id, text) batches → (doc_id, simhash).
+    Arrow in, Arrow out — no pandas conversion on either side."""
+    import pyarrow as pa
+
+    for batch in batches:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        out = _simhash_batch(texts, batch.num_rows)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), pa.array(out, type=pa.int64())],
+            ["doc_id", "simhash"],
+        )
 
 
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash of the token multiset.
 
     Near-dups differ in few bits; :func:`simhash_pairs` does the
-    hamming-join.
+    hamming-join. Only (doc_id, text) cross the Python boundary
+    (explicit select — mapInArrow is opaque to column pruning), and an
+    under-split input (one small parquet file) is round-robin
+    repartitioned to cluster width first so the kernel parallelizes —
+    at scale inputs carry ≥ cores splits and the repartition is a no-op.
     """
-    return docs.select("doc_id", _simhash64(F.col("text")).alias("simhash"))
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInArrow(_simhash_map, schema="doc_id long, simhash long")
 
 
 #: oracle twin of _simhash64: per (doc, bit) vote sums over md5-derived

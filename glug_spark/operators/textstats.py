@@ -317,11 +317,14 @@ def top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     tfidf = tf · ln((N + 1) / (df + 1)) (smoothed, always ≥ 0);
     deterministic ties break term-ascending. Plan shape at 100 TB: the
     same (term, doc_id) aggregate as postings_build, term df by one
-    more vocab-sized agg delivered back as a BROADCAST join (never a
-    corpus shuffle), then a per-doc window — partitioned by doc_id, the
-    key the postings aggregate already produced, so with AQE the window
-    reuses the (term, doc_id) exchange's doc-side co-location rather
-    than adding a corpus-wide sort."""
+    more vocab-sized agg joined back as a PLAIN equi-join on term — the
+    df side is vocabulary-sized (10^8-10^9 rows on web text), so the
+    join strategy is left to AQE: it broadcasts only when the measured
+    size fits, else shuffles the vocab-sized side against the
+    (term, doc_id) aggregate (an explicit broadcast hint here forced a
+    driver collect + per-executor copy of the whole vocabulary — the
+    round-5 scale-killer). Then a per-doc window — partitioned by
+    doc_id, the key the postings aggregate already produced."""
     from pyspark.sql import Window
 
     toks = docs.select(
@@ -331,7 +334,7 @@ def top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

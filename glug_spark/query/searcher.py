@@ -66,6 +66,24 @@ class Searcher:
                 self._persisted.append(df)
             # materialize metadata eagerly; postings fill lazily per bucket
             self.term_stats.count()
+            self._warm()
+
+    def _warm(self) -> None:
+        """Front-load the first query's fixed costs at open time (the
+        service shape pays them once per handle, not on a user query):
+        spin up the Arrow Python workers with a one-row groupBy kernel
+        job, and touch the postings parquet footers via a metadata-only
+        count (column-pruned count-star — no posting blob is read, and
+        the persisted cache is NOT materialized)."""
+        import pandas as pd  # noqa: F401 — worker-side import warm
+
+        (
+            self.spark.createDataFrame([(1,)], "x int")
+            .groupBy("x")
+            .applyInPandas(lambda p: p, schema="x int")
+            .count()
+        )
+        self.spark.read.parquet(f"{self.index_dir}/postings").count()
 
     def close(self) -> None:
         for df in self._persisted:
@@ -440,7 +458,7 @@ class Searcher:
             match_segment,
             schema=T.StructType([T.StructField("doc_id", T.LongType())]),
         )
-        return matched.orderBy("doc_id")
+        return wand._sorted_docs(matched)
 
     def near_docs(self, term_a: str, term_b: str, slop: int = 3,
                   ordered: bool = False) -> DataFrame:
@@ -473,4 +491,4 @@ class Searcher:
             match_segment,
             schema=T.StructType([T.StructField("doc_id", T.LongType())]),
         )
-        return matched.orderBy("doc_id")
+        return wand._sorted_docs(matched)

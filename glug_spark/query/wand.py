@@ -931,7 +931,19 @@ def phrase_docs_indexed(
     matched = rows.groupBy("grp").applyInPandas(
         match_segment, schema=T.StructType([T.StructField("doc_id", T.LongType())])
     )
-    return matched.orderBy("doc_id")
+    return _sorted_docs(matched)
+
+
+def _sorted_docs(matched: DataFrame) -> DataFrame:
+    """doc_id-sorted match set WITHOUT a range-partitioned global sort:
+    ``orderBy`` samples its child to pick range boundaries, which
+    re-executes the Arrow scorer a second time per query (measured ~2×
+    the phrase query's cost). The matches are a narrow doc_id column —
+    one round-robin exchange into a single in-partition sort gives the
+    same total order for half the compute. (At cluster scale a huge
+    match set would page through the driver anyway; phrase/NEAR match
+    sets are doc-subset-sized.)"""
+    return matched.repartition(1).sortWithinPartitions("doc_id")
 
 
 def _near_doc_ids(per_word: dict[str, dict], term_a: str, term_b: str,
@@ -1026,4 +1038,4 @@ def near_docs_indexed(
     matched = rows.groupBy("grp").applyInPandas(
         match_segment, schema=T.StructType([T.StructField("doc_id", T.LongType())])
     )
-    return matched.orderBy("doc_id")
+    return _sorted_docs(matched)

@@ -472,8 +472,11 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     # docmap (no sb=-1 base): a partial map would silently serve NULL
     # urls for build-corpus docs.
     if os.path.exists(os.path.join(index_dir, _DOCMAP_DIR)):
+        from glug_spark.index.pipeline import index_doc_store
+
         write_docmap(batch_df, index_dir, sb=int(batch_id),
-                     n_doc_buckets=docmap_n_buckets(spark, index_dir))
+                     n_doc_buckets=docmap_n_buckets(spark, index_dir),
+                     doc_store=index_doc_store(spark, index_dir))
     spark.createDataFrame(
         [(int(batch_id), int(n_new), int(agg["lo"]), int(agg["hi"]))],
         "batch_id long, n_docs long, lo_doc long, hi_doc long",

@@ -36,7 +36,7 @@ def compacted_index(spark):
         build_index(spark, SF_DIR, d, n_buckets=8)
     finally:
         spark.conf.set(key, prev)
-    summary = compact_index(spark, d, min_run=1000)  # force-merge everything
+    summary = compact_index(spark, d, min_run=1000, min_groups=1)  # force-merge everything
     yield d, summary
     shutil.rmtree(d, ignore_errors=True)
 
@@ -56,7 +56,7 @@ def mixed_index(spark):
         spark.conf.set(key, prev)
     # min_run=8 merges only the rare tail ('dup': ~29 postings spread
     # over ~8 segments) and leaves every ~55-postings/segment term alone
-    summary = compact_index(spark, d, min_run=8, merge_factor=4)
+    summary = compact_index(spark, d, min_run=8, merge_factor=4, min_groups=1)
     yield d, summary
     shutil.rmtree(d, ignore_errors=True)
 
@@ -191,7 +191,7 @@ def test_recompaction_composes(spark, mixed_index):
     and stay rank-identical."""
     d, _ = mixed_index
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    compact_index(spark, d, min_run=1000, merge_factor=1000)
+    compact_index(spark, d, min_run=1000, merge_factor=1000, min_groups=1)
     m = read_segmap(spark, d).collect()
     assert len({r["grp"] for r in m}) == 1  # fully coarsened
     for terms, k, conj in QUERIES:
@@ -261,7 +261,46 @@ def test_random_compaction_states_rank_identical(spark, seed, tmp_path):
     check("fresh")
     compact_index(spark, index_dir,
                   min_run=rng.choice([4, 16, 64]),
-                  merge_factor=rng.choice([2, 4, 16]))
+                  merge_factor=rng.choice([2, 4, 16]),
+                  min_groups=rng.choice([1, 8]))
     check("compacted-1")
-    compact_index(spark, index_dir, min_run=1000, merge_factor=1000)
+    compact_index(spark, index_dir, min_run=1000, merge_factor=1000,
+                  min_groups=1)
     check("compacted-2")
+
+
+def test_default_min_groups_floor_preserves_parallelism(spark, tmp_path):
+    """With the default (auto) floor, compaction must not coarsen the
+    scoring groups below ~2x cluster cores — groups bound per-query
+    scorer parallelism (the round-5 2M-doc latency regression). Full
+    coarsening stays available via min_groups=1."""
+    from glug_spark.index.compact import default_min_groups
+
+    d = str(tmp_path / "idx")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "64")  # 500 docs -> 8 segments
+    try:
+        build_index(spark, SF_DIR, d, n_buckets=8)
+    finally:
+        spark.conf.set(key, prev)
+    n_segs = (
+        spark.read.parquet(f"{d}/postings").select("segment")
+        .distinct().count()
+    )
+    floor = default_min_groups(spark)
+    summary = compact_index(spark, d, min_run=1000, merge_factor=1000)
+    assert summary["groups"] >= min(n_segs, floor)
+    # the floored layout still answers rank-identically
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for terms, k, conj in QUERIES[:2]:
+        want = [tuple(r) for r in
+                bm25.bm25_topk(docs, terms, k=k, conjunctive=conj).collect()]
+        got = [tuple(r) for r in
+               wand.wand_topk(spark, d, terms, k=k, conjunctive=conj,
+                              n_buckets=8).collect()]
+        assert got == want, terms
+    # explicit full coarsening overrides the floor
+    summary2 = compact_index(spark, d, min_run=1000, merge_factor=1000,
+                             min_groups=1)
+    assert summary2["groups"] == 1

@@ -407,3 +407,41 @@ def test_latest_crawl_webtext_shape(spark):
     assert len(out) == pages.count()  # one per url (urls are unique)
     bumped = {r["doc_id"] for r in out if r["ts"] - r["doc_id"] != 1735689600}
     assert bumped == {r["doc_id"] for r in out if r["doc_id"] % 10 == 0}
+
+
+def test_simhash_arrow_tokenizer_matches_python_re(spark):
+    """The C-level Arrow tokenizer (split on non-word runs) must yield
+    exactly re.findall(r"\\w+") tokens — differential on unicode,
+    punctuation-only, empty and null texts."""
+    import re
+
+    import numpy as np
+
+    texts = [
+        "héllo wörld_1  ,, héllo", "...", "", None, "a_b-c d",
+        "数据 表 scan", "x" * 5, "tab\tnewline\nmix 42",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+
+    # reference: the pre-round-6 pandas kernel (re.findall + factorize)
+    import hashlib
+    def ref_simhash(text):
+        toks = re.findall(r"\w+", text or "", re.UNICODE)
+        if not toks:
+            return 0
+        acc = np.zeros(64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for t in toks:
+            h = np.frombuffer(
+                hashlib.md5(t.encode()).digest()[:8], dtype=">u8"
+            )[0]
+            bits = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(float)
+            acc += bits * 2.0 - 1.0
+        packed = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+        return int(packed.view(np.int64)) if hasattr(packed, "view") else int(
+            np.uint64(packed).astype(np.int64)
+        )
+    for i, t in enumerate(texts):
+        assert got[i] == ref_simhash(t), (i, t)

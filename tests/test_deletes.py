@@ -434,7 +434,7 @@ def test_deletes_survive_compaction(spark, tmp_path):
     delete_docs(spark, idx, deleted)
     before = [tuple(r) for r in wand.wand_topk(
         spark, idx, ["data"], k=10, n_buckets=8).collect()]
-    compact_index(spark, idx, min_run=8, merge_factor=4)
+    compact_index(spark, idx, min_run=8, merge_factor=4, min_groups=1)
     after = [tuple(r) for r in wand.wand_topk(
         spark, idx, ["data"], k=10, n_buckets=8).collect()]
     assert before == after

@@ -351,3 +351,30 @@ def test_index_stats_introspection(spark, index_dir):
     assert s["pending_attempt_markers"] == 0
     assert s["bytes_on_disk"] > 0
     assert s["avgdl"] and s["avgdl"] > 0
+
+
+def test_adaptive_build_parallelism_on_single_split_input(spark, tmp_path):
+    """A corpus arriving as ONE input split (single small parquet file)
+    must be round-robin spread so the encode — and every downstream
+    per-group query scorer — parallelizes: segments >= min(2*cores,
+    n_docs/1000). At-scale inputs (splits >= cores) are untouched."""
+    import os
+
+    import pandas as pd
+
+    corpus_dir = str(tmp_path / "c")
+    n = 4000
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "text": [f"data join scan doc{i} table" for i in range(n)],
+        "lang": ["en"] * n, "source": ["web"] * n, "n_chars": [25] * n,
+    })
+    import pyarrow as pa, pyarrow.parquet as pq
+    os.makedirs(f"{corpus_dir}/documents.parquet", exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   f"{corpus_dir}/documents.parquet/part-0.parquet")
+    out = str(tmp_path / "i")
+    summary = build_index(spark, corpus_dir, out, n_buckets=4)
+    par = spark.sparkContext.defaultParallelism
+    expected_min = min(2 * par, n // 1000)
+    assert summary["segments"] >= expected_min, summary

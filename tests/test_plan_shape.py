@@ -114,7 +114,7 @@ def test_with_urls_broadcasts_results_and_prunes_docmap(spark, tmp_path):
     from glug_spark.query.searcher import Searcher
 
     d = str(tmp_path / "idx")
-    build_index(spark, SF_DIR, d, n_buckets=8)
+    build_index(spark, SF_DIR, d, n_buckets=8, doc_store=True)
     with Searcher(spark, d, n_buckets=8, persist=False) as s:
         plan = _formatted(s.topk(["data", "join"], k=10, with_urls=True))
         snip_plan = _formatted(

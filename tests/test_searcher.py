@@ -25,10 +25,10 @@ def searcher(spark):
     prev = spark.conf.get(key)
     spark.conf.set(key, "64")
     try:
-        build_index(spark, SF_DIR, d, n_buckets=8)
+        build_index(spark, SF_DIR, d, n_buckets=8, doc_store=True)
     finally:
         spark.conf.set(key, prev)
-    compact_index(spark, d, min_run=8, merge_factor=4)  # mixed layout
+    compact_index(spark, d, min_run=8, merge_factor=4, min_groups=1)  # mixed layout
     with Searcher(spark, d, n_buckets=8, persist=True) as s:
         yield s
     shutil.rmtree(d, ignore_errors=True)

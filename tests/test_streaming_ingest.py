@@ -295,7 +295,7 @@ def test_compact_refuses_unrecovered_stream_namespace(spark, tmp_path):
 
     # recovery (the drain adopts the orphan), then compaction is legal
     ingest_available(spark, arrivals, index, n_buckets=8)
-    compact_index(spark, index, min_run=1000, merge_factor=1000)
+    compact_index(spark, index, min_run=1000, merge_factor=1000, min_groups=1)
     for terms, k, conj in QUERIES:
         want = [tuple(r) for r in
                 bm25.bm25_topk(docs, terms, k=k, conjunctive=conj).collect()]
@@ -326,7 +326,7 @@ def test_compact_folds_committed_but_unfolded_batch(spark, tmp_path):
     # manifest row IS written; refresh_stats is NOT run → unfolded
     assert ingest_batch(spark, wave, 0, index, n_buckets=8) == wave.count()
 
-    compact_index(spark, index, min_run=1000, merge_factor=1000)
+    compact_index(spark, index, min_run=1000, merge_factor=1000, min_groups=1)
 
     enc = spark.read.parquet(f"{index}/postings")
     expected_df = {
@@ -450,7 +450,8 @@ def test_compact_ingest_compact_interplay(spark, tmp_path):
             os.path.join(initial, "documents.parquet")
         )
         build_index(spark, initial, index, n_buckets=8)
-        compact_index(spark, index, min_run=1000, merge_factor=1000)
+        compact_index(spark, index, min_run=1000, merge_factor=1000,
+                      min_groups=1)
 
         docs.where(F.col("doc_id") >= 300).write.parquet(
             os.path.join(arrivals, "wave.parquet")
@@ -469,7 +470,8 @@ def test_compact_ingest_compact_interplay(spark, tmp_path):
             assert got == want, (tag, terms)
 
     check("after-ingest")
-    summary = compact_index(spark, index, min_run=1000, merge_factor=1000)
+    summary = compact_index(spark, index, min_run=1000, merge_factor=1000,
+                            min_groups=1)
     assert summary["groups"] == 1  # stream segments coarsened too
     m = read_segmap(spark, index).collect()
     segs_on_disk = {

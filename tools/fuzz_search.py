@@ -138,7 +138,8 @@ def main() -> int:
 
             compact_index(spark, f"{tmp}/index",
                           min_run=rng.choice([8, 1000]),
-                          merge_factor=rng.choice([2, 4, 1000]))
+                          merge_factor=rng.choice([2, 4, 1000]),
+                          min_groups=rng.choice([1, 8]))
             check("compacted", lambda q: [
                 tuple(r) for r in search_indexed(
                     spark, f"{tmp}/index", q, k=7, n_buckets=nb
