@@ -316,9 +316,22 @@ def compact_index(
     before = enc.count()
     cols = [f.name for f in ENCODED_SCHEMA]
     tmp = os.path.join(index_dir, "postings_compacted")
+    from glug_spark.index.pipeline import (
+        consolidate_for_bucket_write,
+        dir_bytes,
+    )
+
+    n_buckets = int(
+        spark.read.parquet(os.path.join(index_dir, "params"))
+        .collect()[0]["n_buckets"]
+    )
+    out_rows = consolidate_for_bucket_write(
+        untouched.select(cols).unionByName(merged.select(cols)),
+        n_buckets=n_buckets,
+        est_bytes=dir_bytes(src),
+    )
     (
-        untouched.select(cols)
-        .unionByName(merged.select(cols))
+        out_rows
         .sortWithinPartitions("bucket", "term")
         .write.mode("overwrite")
         .partitionBy("bucket")

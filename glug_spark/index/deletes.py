@@ -185,6 +185,34 @@ def resolve_deleted(deleted: object) -> "np.ndarray | None":
     return value if value is not None else deleted  # type: ignore[return-value]
 
 
+#: JVM varbyte decode depth for the first-doc prune: 9 × 7 bits = 63
+#: bits covers any int64 doc id
+_FIRST_DOC_BYTES = 9
+
+
+def first_doc_col(gaps_col: "F.Column") -> "F.Column":
+    """First doc_id of an encoded run, computed IN THE JVM from the
+    run's leading varbyte (first gap = doc_id + 1) — the expression
+    twin of ``query.wand._first_doc_id``. Lets the purge prune rows
+    entirely above the deleted range out of the Python rewrite path
+    with a scan predicate instead of shipping them through Arrow."""
+    def byte(i: int) -> "F.Column":
+        # one byte → unsigned int (empty slice → 0 via coalesce)
+        return F.coalesce(
+            F.conv(F.hex(F.substring(gaps_col, i + 1, 1)), 16, 10)
+            .cast("long"),
+            F.lit(0).cast("long"),
+        )
+
+    n = _FIRST_DOC_BYTES
+    expr = F.shiftleft(byte(n - 1) % 128, 7 * (n - 1))
+    for i in range(n - 2, -1, -1):
+        expr = F.shiftleft(byte(i) % 128, 7 * i) + F.when(
+            byte(i) >= 128, expr
+        ).otherwise(F.lit(0).cast("long"))
+    return expr - F.lit(1).cast("long")
+
+
 def _make_purge_rewriter(
     deleted: np.ndarray,
 ) -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
@@ -303,11 +331,17 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> dict:
         .select("doc_id").distinct().count()
     )
 
+    params = spark.read.parquet(os.path.join(index_dir, "params")).collect()[0]
+    n_buckets = int(params["n_buckets"])
+
     # --- 1. rewrite the postings (pruned: untouched rows never move
-    # through Python) --------------------------------------------------
+    # through Python; rows entirely above the deleted range are pruned
+    # JVM-side by the first-doc predicate) -----------------------------
     min_del = int(deleted[0])
+    max_del = int(deleted[-1])
     touch = F.coalesce(
-        F.try_element_at("block_last", F.lit(-1)) >= F.lit(min_del),
+        (F.try_element_at("block_last", F.lit(-1)) >= F.lit(min_del))
+        & (first_doc_col(F.col("doc_gaps")) <= F.lit(max_del)),
         F.lit(False),
     )
     cols = [f.name for f in ENCODED_SCHEMA]
@@ -317,9 +351,18 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> dict:
     )
     before = enc.count()
     tmp = os.path.join(index_dir, "postings_purged")
+    from glug_spark.index.pipeline import (
+        consolidate_for_bucket_write,
+        dir_bytes,
+    )
+
+    out_rows = consolidate_for_bucket_write(
+        untouched.select(cols).unionByName(rewritten.select(cols)),
+        n_buckets=n_buckets,
+        est_bytes=dir_bytes(src),
+    )
     (
-        untouched.select(cols)
-        .unionByName(rewritten.select(cols))
+        out_rows
         .sortWithinPartitions("bucket", "term")
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -350,8 +393,6 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> dict:
     # n_docs derives from immutable lineage (build params + stream
     # manifest) minus the ledger — NOT from the current collection row,
     # which a crashed earlier run may already have reduced ------------
-    params = spark.read.parquet(os.path.join(index_dir, "params")).collect()[0]
-    n_buckets = int(params["n_buckets"])
     n_docs = int(params["n_docs"])
     smp = _stream_manifest_path(index_dir)
     if os.path.exists(smp):

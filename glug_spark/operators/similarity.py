@@ -428,6 +428,7 @@ def build_ivf_index(
         os.path.join(out_dir, "vectors")
     )
     cents.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+    _CENTROID_CACHE.pop(out_dir, None)
     sizes = (
         spark.read.parquet(os.path.join(out_dir, "vectors"))
         .groupBy("list_id").count().collect()
@@ -437,6 +438,13 @@ def build_ivf_index(
         "n_vectors": int(sum(r["count"] for r in sizes)),
         "list_sizes": {int(r["list_id"]): int(r["count"]) for r in sizes},
     }
+
+
+#: per-index centroid table (n_lists rows — metadata-scale), pinned on
+#: the driver like wand's collection/segmap caches: the probe path
+#: otherwise paid a centroids-read Spark job per query (~0.3-0.5 s of
+#: each probe's latency). Invalidated by build_ivf_index on overwrite.
+_CENTROID_CACHE: dict[str, dict[int, list[float]]] = {}
 
 
 def ivf_topk_indexed(
@@ -450,17 +458,20 @@ def ivf_topk_indexed(
     """Probe a persisted IVF index: (rank, vec_id, sim).
 
     The probed list ids are computed DRIVER-SIDE against the stored
-    centroids (n_lists rows — metadata), so the vectors scan prunes to
-    the probed partition directories before any task launches. Results
-    are rank-identical to :func:`ivf_topk_trained` with the same
-    centroids (asserted by tests).
+    centroids (n_lists rows — metadata, cached per index_dir), so the
+    vectors scan prunes to the probed partition directories before any
+    task launches. Results are rank-identical to :func:`ivf_topk_trained`
+    with the same centroids (asserted by tests).
     """
     import os
 
-    cents_rows = spark.read.parquet(
-        os.path.join(index_dir, "centroids")
-    ).collect()
-    cents = {int(r["list_id"]): list(r["c"]) for r in cents_rows}
+    cents = _CENTROID_CACHE.get(index_dir)
+    if cents is None:
+        cents_rows = spark.read.parquet(
+            os.path.join(index_dir, "centroids")
+        ).collect()
+        cents = {int(r["list_id"]): list(r["c"]) for r in cents_rows}
+        _CENTROID_CACHE[index_dir] = cents
     vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
     if query_vec is None:
         if query_vec_id is None:

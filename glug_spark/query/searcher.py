@@ -186,7 +186,7 @@ class Searcher:
         scorer = wand.make_segment_scorer(
             uniq, None, self.avgdl, k, conjunctive, deleted=self.deleted
         )
-        per_group = rows.groupBy("grp").applyInPandas(
+        per_group = wand.scorer_partitions(rows).groupBy("grp").applyInPandas(
             lambda pdf: scorer(pdf), schema=wand._SCORE_SCHEMA
         )
         out = wand._ranked_bounded(per_group, k)
@@ -259,7 +259,7 @@ class Searcher:
             ).astype({"query_id": "object", "doc_id": "int64",
                       "raw_score": "float64"})
 
-        per_group = rows.groupBy("grp").applyInPandas(score_group, schema=schema)
+        per_group = wand.scorer_partitions(rows).groupBy("grp").applyInPandas(score_group, schema=schema)
         from pyspark.sql import Window as W
 
         w = W.partitionBy("query_id").orderBy(
@@ -418,7 +418,7 @@ class Searcher:
             ).astype({"query_id": "object", "doc_id": "int64",
                       "raw_score": "float64"})
 
-        per_group = rows.groupBy("grp").applyInPandas(score_group, schema=schema)
+        per_group = wand.scorer_partitions(rows).groupBy("grp").applyInPandas(score_group, schema=schema)
         from pyspark.sql import Window as W
 
         w = W.partitionBy("query_id").orderBy(
@@ -454,7 +454,7 @@ class Searcher:
             hits = hits[not_deleted_mask(resolve_deleted(deleted), hits)]
             return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
 
-        matched = rows.groupBy("grp").applyInPandas(
+        matched = wand.scorer_partitions(rows).groupBy("grp").applyInPandas(
             match_segment,
             schema=T.StructType([T.StructField("doc_id", T.LongType())]),
         )
@@ -487,7 +487,7 @@ class Searcher:
             hits = hits[not_deleted_mask(resolve_deleted(deleted), hits)]
             return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
 
-        matched = rows.groupBy("grp").applyInPandas(
+        matched = wand.scorer_partitions(rows).groupBy("grp").applyInPandas(
             match_segment,
             schema=T.StructType([T.StructField("doc_id", T.LongType())]),
         )

@@ -104,6 +104,23 @@ def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> dict
     return {t: python_bucket(t, n_buckets) for t in terms}
 
 
+def scorer_partitions(rows: DataFrame) -> DataFrame:
+    """EXPLICIT grp-hash exchange feeding every ``groupBy("grp")``
+    scorer: a query's posting rows are tiny (KBs), so AQE's partition
+    coalescing folds the scorer's shuffle into ONE post-shuffle
+    partition and every per-group Arrow kernel runs sequentially on a
+    single core — measured 9.5 s for the 32-query batch at 50 groups
+    (1600 kernel invocations × ~6 ms, one task). A user-specified
+    ``repartition(n, "grp")`` is exempt from AQE coalescing and
+    satisfies the grouped-map clustering requirement, so it is the ONLY
+    exchange on the path and the kernels fan out across the cluster.
+    ``n`` = the session's shuffle parallelism (cluster-sized knob, not
+    a local constant)."""
+    spark = rows.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return rows.repartition(n, "grp")
+
+
 def _contribution(tfs: np.ndarray, dls: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
     tfs = tfs.astype(np.float64)
     return idf * (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
@@ -471,7 +488,7 @@ def wand_topk(
         uniq, idfs, avgdl, k, conjunctive,
         deleted=read_deleted_ids(spark, index_dir),
     )
-    per_group = rows.groupBy("grp").applyInPandas(
+    per_group = scorer_partitions(rows).groupBy("grp").applyInPandas(
         lambda pdf: scorer(pdf), schema=_SCORE_SCHEMA
     )
     return _ranked_bounded(per_group, k)
@@ -800,7 +817,7 @@ def _composed_from_parts(
 
     scorer = make_composed_scorer(len(groups), phrases, avgdl, k, nears=nears,
                                   deleted=deleted)
-    per_group = rows.groupBy("grp").applyInPandas(
+    per_group = scorer_partitions(rows).groupBy("grp").applyInPandas(
         lambda pdf: scorer(pdf), schema=_SCORE_SCHEMA
     )
     return _ranked_bounded(per_group, k)
@@ -882,7 +899,7 @@ def docs_with_any(
         out = out[not_deleted_mask(deleted, out)]
         return pd.DataFrame({"doc_id": out})
 
-    return rows.groupBy("grp").applyInPandas(
+    return scorer_partitions(rows).groupBy("grp").applyInPandas(
         lambda pdf: decode(pdf),
         schema=T.StructType([T.StructField("doc_id", T.LongType())]),
     ).distinct()
@@ -928,7 +945,7 @@ def phrase_docs_indexed(
         hits = hits[not_deleted_mask(deleted, hits)]
         return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
 
-    matched = rows.groupBy("grp").applyInPandas(
+    matched = scorer_partitions(rows).groupBy("grp").applyInPandas(
         match_segment, schema=T.StructType([T.StructField("doc_id", T.LongType())])
     )
     return _sorted_docs(matched)
@@ -1035,7 +1052,7 @@ def near_docs_indexed(
         hits = hits[not_deleted_mask(deleted, hits)]
         return pd.DataFrame({"doc_id": hits}).astype({"doc_id": "int64"})
 
-    matched = rows.groupBy("grp").applyInPandas(
+    matched = scorer_partitions(rows).groupBy("grp").applyInPandas(
         match_segment, schema=T.StructType([T.StructField("doc_id", T.LongType())])
     )
     return _sorted_docs(matched)

@@ -634,3 +634,31 @@ def test_purge_rewriter_roundtrip_property(case):
     if len(expected) == len(doc_ids):
         assert got["doc_gaps"] == row["doc_gaps"]
         assert got["positions"] == row["positions"]
+
+
+def test_first_doc_col_matches_python_decoder(spark):
+    """The JVM first-doc expression (purge's scan-prune predicate) must
+    equal wand._first_doc_id for any varbyte width, including multi-byte
+    continuation chains up to 63-bit ids."""
+    import numpy as np
+
+    from glug_spark.index import codec
+    from glug_spark.index.deletes import first_doc_col
+    from glug_spark.query.wand import _first_doc_id
+
+    ids = [0, 1, 126, 127, 128, 300, 16_383, 16_384, 2_097_151,
+           2_097_152, 2**35, 2**42 + 12345, 2**55 + 7, 2**62 - 1]
+    rows = []
+    for i, first in enumerate(ids):
+        arr = np.array([first, first + 3, first + 10], dtype=np.int64)
+        enc = codec.encode_segment(arr, np.ones(3, np.int64),
+                                   np.ones(3, np.int64))
+        rows.append((i, bytearray(enc["doc_gaps"]), int(first)))
+        assert _first_doc_id(enc["doc_gaps"]) == first
+    df = spark.createDataFrame(
+        rows, "i int, doc_gaps binary, expected long"
+    )
+    got = df.select("i", "expected",
+                    first_doc_col(F.col("doc_gaps")).alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["expected"], (r["i"], r["got"], r["expected"])
