@@ -134,6 +134,42 @@ def _perm_consts(n_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
+def _minhash_partial_map(
+    n_hashes: int,
+) -> "Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]":
+    """mapInArrow worker: (doc_id, h) shingle-hash batches → per-doc
+    PARTIAL minima over all ``n_hashes`` permutations — the map-side
+    half of the min aggregation, vectorized: one (rows × n_hashes)
+    (a·h+b) mod P matrix per batch and a segmented ``minimum.reduceat``
+    over the batch's doc runs (explode output is doc-contiguous). A doc
+    split across batches/partitions emits several partial rows; the
+    final groupBy-min merges them exactly. All math is int64 (products
+    < 2^62), identical to the JVM/oracle expressions."""
+    import pyarrow as pa
+
+    consts = _perm_consts(n_hashes)
+    a = np.array([c[0] for c in consts], dtype=np.int64)
+    b = np.array([c[1] for c in consts], dtype=np.int64)
+    names = ["doc_id"] + [f"h{i}" for i in range(n_hashes)]
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            h = batch.column("h").to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+            perms = (h[:, None] * a[None, :] + b[None, :]) % MINHASH_P
+            mins = np.minimum.reduceat(perms, starts, axis=0)
+            arrays = [pa.array(doc[starts], type=pa.int64())] + [
+                pa.array(mins[:, i], type=pa.int64())
+                for i in range(n_hashes)
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return run
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
                        shingle: int = SHINGLE) -> DataFrame:
     """(doc_id, h0..h{n-1} bigint) — minhash via the standard universal
@@ -141,13 +177,17 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
     int, mod P) and ``n_hashes`` cheap (a·h+b) mod P permutations,
     aggregated with NUMERIC mins.
 
-    The earlier per-seed form — ``min(md5('<seed>|' || shingle))`` per
-    column — cost n_hashes md5s per shingle OCCURRENCE plus n_hashes
-    string-min aggregates; at 128 permutations the wide string-min
-    plan fell out of whole-stage codegen and took 480 s for 100k
-    webtext docs. This form measured 18 s on the same input, and
-    ax+b mod prime is the textbook minhash permutation family
-    (Broder et al.) rather than an ad-hoc seeded-digest order."""
+    Two generations of this kernel predate the current one: the
+    per-seed ``min(md5('<seed>|' || shingle))`` form cost n_hashes md5s
+    per shingle occurrence (480 s / 100k docs); the all-JVM numeric
+    form (one md5, 128 ``min((h·a+b) % P)`` agg expressions) measured
+    ~45 s — the 128 projection+agg-update expressions per shingle row
+    dominated the whole fuzzy-dedup pipeline. The permutations and the
+    map-side min now run vectorized in Arrow (guide §4.2): one
+    (batch × 128) int64 matrix op + segmented reduceat per batch, then
+    a final groupBy-min over ~n_docs partial rows. Values are
+    bit-identical (same integer math, min is order-free); the oracle
+    SQL is unchanged."""
     sh = _shingles(docs, shingle=shingle)
     h = F.pmod(
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
@@ -155,13 +195,11 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
         F.lit(MINHASH_P),
     )
     base = sh.select("doc_id", h.alias("h"))
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(
-            f"h{i}"
-        )
-        for i, (a, b) in enumerate(_perm_consts(n_hashes))
-    ]
-    return base.groupBy("doc_id").agg(*aggs)
+    schema = ", ".join(["doc_id long"]
+                       + [f"h{i} long" for i in range(n_hashes)])
+    partial = base.mapInArrow(_minhash_partial_map(n_hashes), schema=schema)
+    aggs = [F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    return partial.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_bands(docs: DataFrame, n_hashes: int = N_HASHES,

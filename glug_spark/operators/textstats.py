@@ -36,19 +36,49 @@ FROM documents
 """
 
 
-def _quality_cols() -> list:
-    """The quality-score output columns (shared by :func:`quality_score`
-    and the merged :func:`text_quality` so both stay one single-scan
-    select, no self-join)."""
-    a = token_array()
-    stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
-    n_tokens = F.size(a).cast("long")
-    n_stop = F.size(F.filter(a, lambda t: F.array_contains(stop, t))).cast("long")
-    sum_len = F.aggregate(
-        a, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+def _token_agg(docs: DataFrame) -> DataFrame:
+    """Per-doc token counters from ONE tokenization pass.
+
+    The earlier formulation expressed every counter as a higher-order
+    function over ``token_array()`` in one select — but HOFs are
+    CodegenFallback, common-subexpression elimination does not reach
+    them, and the regex tokenization re-ran once PER EXPRESSION
+    (measured: ~6 s per use × 9 uses = 62 s for text_quality over the
+    2M-doc corpus). This shape tokenizes once, ``explode_outer``-s
+    (empty/null docs keep a NULL row so they survive with zero counts),
+    and computes every counter as a codegen'd integer aggregate —
+    partial (map-side) aggregation means the one exchange carries
+    ~n_docs rows, never token rows. All counters are exact integers, so
+    every derived double is bit-identical to the HOF formulation's."""
+    tok = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.explode_outer(token_array()).alias("t"),
     )
-    avg_len = F.when(n_tokens > 0, sum_len.cast("double") / n_tokens).otherwise(0.0)
-    ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
+    aggs = [
+        F.max("n_chars").alias("n_chars"),
+        F.count("t").alias("n_tokens"),
+        F.coalesce(F.sum(F.length("t")), F.lit(0)).cast("long")
+        .alias("sum_len"),
+    ]
+    for lang in sorted(STOPWORDS):
+        aggs.append(
+            F.count(F.when(F.col("t").isin(STOPWORDS[lang]), 1))
+            .alias(f"hits_{lang}")
+        )
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def _quality_cols_from_agg() -> list:
+    """Quality columns over :func:`_token_agg` output (exact-integer
+    inputs → identical doubles to the single-select formulation)."""
+    n_tokens = F.col("n_tokens")
+    avg_len = F.when(
+        n_tokens > 0, F.col("sum_len").cast("double") / n_tokens
+    ).otherwise(0.0)
+    ratio = F.when(
+        n_tokens > 0, F.col("hits_en").cast("double") / n_tokens
+    ).otherwise(0.0)
     quality = F.round(
         F.least(F.lit(1.0), n_tokens.cast("double") / 64.0) * 0.5
         + F.when((avg_len >= 3.0) & (avg_len <= 8.0), 0.25).otherwise(0.0)
@@ -57,11 +87,25 @@ def _quality_cols() -> list:
     )
     return [
         n_tokens.alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
+        F.col("n_chars"),
         F.round(avg_len, 6).alias("avg_token_len"),
         F.round(ratio, 6).alias("stopword_ratio"),
         quality.alias("quality"),
     ]
+
+
+def _pred_lang_from_agg() -> F.Column:
+    """argmax of the per-language hit counters, ties broken
+    lexicographically (the WHEN cascade tests languages in sorted
+    order, so the first equal-to-greatest is the lex-smallest — the
+    same decision as the struct-sort formulation)."""
+    langs = sorted(STOPWORDS)
+    greatest = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    expr = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        expr = F.when(F.col(f"hits_{lang}") == greatest, F.lit(lang)
+                      ).otherwise(expr)
+    return expr
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -71,7 +115,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     and a healthy (not-extreme) stopword ratio score high — the standard
     cheap pre-filter in training-data pipelines.
     """
-    return docs.select("doc_id", *_quality_cols())
+    return _token_agg(docs).select("doc_id", *_quality_cols_from_agg())
 
 
 def quality_score_sql() -> str:
@@ -108,45 +152,24 @@ FROM r
 """
 
 
-def _pred_lang_col() -> F.Column:
-    """argmax of stopword-marker hits per language, ties broken
-    lexicographically (shared by :func:`lang_id` / :func:`text_quality`)."""
-    a = token_array()
-    scores = []
-    for lang in sorted(STOPWORDS):
-        stop = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-        scores.append(
-            F.struct(
-                F.size(F.filter(a, lambda t: F.array_contains(stop, t))).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    # argmax by (hits desc, lang asc): flip sign of hits in a sortable struct
-    return F.array_sort(
-        F.array(*scores),
-        lambda l, r: F.when(l["hits"] > r["hits"], -1)
-        .when(l["hits"] < r["hits"], 1)
-        .when(l["lang"] < r["lang"], -1)
-        .when(l["lang"] > r["lang"], 1)
-        .otherwise(0),
-    )[0]["lang"]
-
-
 def lang_id(docs: DataFrame) -> DataFrame:
     """(doc_id, pred_lang) — argmax of stopword-marker hits per language,
     ties broken lexicographically (deterministic n-gram-free heuristic;
     real corpora give it signal, the synthetic corpus mostly yields the
     majority class — determinism is what the gate checks)."""
-    return docs.select("doc_id", _pred_lang_col().alias("pred_lang"))
+    return _token_agg(docs).select(
+        "doc_id", _pred_lang_from_agg().alias("pred_lang")
+    )
 
 
 def text_quality(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio,
-    quality, pred_lang) — :func:`quality_score` + :func:`lang_id` in ONE
-    single-scan select (the merged driver-scoreboard row; the driver
+    quality, pred_lang) — :func:`quality_score` + :func:`lang_id` from
+    ONE tokenization pass (the merged driver-scoreboard row; the driver
     records at most 50 rows, so per-doc text metrics share one)."""
-    return docs.select(
-        "doc_id", *_quality_cols(), _pred_lang_col().alias("pred_lang")
+    return _token_agg(docs).select(
+        "doc_id", *_quality_cols_from_agg(),
+        _pred_lang_from_agg().alias("pred_lang"),
     )
 
 
