@@ -573,14 +573,66 @@ def lsh_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]
     return [[float(f"{x:.6f}") for x in row] for row in raw]
 
 
-def _plane_bits(planes: list[list[float]]) -> list[Column]:
-    """One boolean sign-bit column per plane — the dot product is the
-    SAME sequential JVM fold as _dot, so the oracle's list_reduce sees
-    bit-identical doubles (sign decisions can never diverge)."""
-    return [
-        _dot(F.col("v"), F.array(*[F.lit(x) for x in p])) > 0
-        for p in planes
-    ]
+def _band_keys_map(
+    planes: list[list[float]], n_bands: int, dim: int
+) -> "Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]":
+    """mapInArrow worker: (vec_id, v) batches → (vec_id, band_id,
+    band_key) LSH bucket rows.
+
+    The JVM formulation evaluated ``n_planes`` interpreted sequential
+    folds per vector (128 × 64 zip_with/aggregate lambdas — the
+    dominant cost of the LSH pass). Here the SAME fold runs vectorized:
+    the accumulator loop iterates dimensions in order (``acc += v_d ·
+    p_d`` per plane), so every (vector, plane) accumulator evolves
+    through the identical sequence of IEEE-double additions as the
+    JVM/oracle ``list_reduce`` — sign decisions, and therefore band
+    keys and the candidate set, are bit-identical. A vector whose
+    length differs from ``dim`` raises (the assert_true analog)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    n_planes = len(planes)
+    per_band = n_planes // n_bands
+    shifts = np.array([1 << j for j in range(per_band)], dtype=np.int64)
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            v = batch.column("v")
+            lens = pc.list_value_length(v).to_numpy(zero_copy_only=False)
+            bad = np.flatnonzero(lens != dim)
+            if len(bad):
+                raise ValueError(
+                    f"embedding dim != {dim} for vec_id "
+                    f"{int(vec_ids[bad[0]])}"
+                )
+            V = v.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+            acc = np.zeros((n, n_planes), dtype=np.float64)
+            for d in range(dim):
+                acc += V[:, d][:, None] * P[:, d][None, :]
+            bits = (acc > 0).astype(np.int64)
+            # band_key b = Σ_j bit[b·r+j] << j  (same as the JVM WHEN sum)
+            keys = (
+                bits.reshape(n, n_bands, per_band) * shifts[None, None, :]
+            ).sum(axis=2)
+            out_ids = np.repeat(vec_ids, n_bands)
+            out_band = np.tile(np.arange(n_bands, dtype=np.int32), n)
+            out_keys = keys.reshape(-1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=pa.int64()),
+                    pa.array(out_band, type=pa.int32()),
+                    pa.array(out_keys, type=pa.int64()),
+                ],
+                ["vec_id", "band_id", "band_key"],
+            )
+
+    return run
 
 
 def embedding_dup_pairs_lsh(
@@ -611,30 +663,19 @@ def embedding_dup_pairs_lsh(
         else:
             dim = int(first["d"])
     planes = lsh_planes(dim, n_planes)
-    per_band = n_planes // n_bands
-    bits = _plane_bits(planes)
 
+    # sign bits + band keys in ONE vectorized Arrow pass (the JVM form
+    # ran n_planes interpreted sequential folds per vector; the kernel
+    # reproduces the identical fold order bit-exactly — see
+    # _band_keys_map — and raises on a dim-mismatched vector, the
+    # assert_true analog of the earlier formulation)
     emb_v = embeddings.select(
-        "vec_id", _as_double("embedding").alias("v")
-    ).where(
-        # assert_true is NULL when the predicate holds → the filter keeps
-        # every valid row and RAISES on the first dim-mismatched vector
-        # (un-prunable, unlike a dropped assert column)
-        F.assert_true(
-            F.size("v") == dim,
-            F.concat(F.lit(f"embedding dim != {dim} for vec_id "),
-                     F.col("vec_id").cast("string")),
-        ).isNull()
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double("embedding").alias("v"),
     )
-    band_cols = []
-    for b in range(n_bands):
-        key = F.lit(0).cast("long")
-        for j in range(per_band):
-            key = key + F.when(bits[b * per_band + j], F.lit(1 << j)
-                               ).otherwise(F.lit(0)).cast("long")
-        band_cols.append(key)
-    buckets = emb_v.select(
-        "vec_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_key")
+    buckets = emb_v.mapInArrow(
+        _band_keys_map(planes, n_bands, dim),
+        schema="vec_id long, band_id int, band_key long",
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
