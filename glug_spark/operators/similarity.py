@@ -429,6 +429,7 @@ def build_ivf_index(
     )
     cents.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
     _CENTROID_CACHE.pop(out_dir, None)
+    _VECTORS_CACHE.pop(out_dir, None)
     sizes = (
         spark.read.parquet(os.path.join(out_dir, "vectors"))
         .groupBy("list_id").count().collect()
@@ -445,6 +446,10 @@ def build_ivf_index(
 #: otherwise paid a centroids-read Spark job per query (~0.3-0.5 s of
 #: each probe's latency). Invalidated by build_ivf_index on overwrite.
 _CENTROID_CACHE: dict[str, dict[int, list[float]]] = {}
+#: analyzed vectors DataFrame per index (handle only — nothing is
+#: persisted/collected): re-creating it per probe re-paid file listing
+#: + schema analysis. Invalidated with the centroids.
+_VECTORS_CACHE: dict[str, DataFrame] = {}
 
 
 def ivf_topk_indexed(
@@ -472,7 +477,10 @@ def ivf_topk_indexed(
         ).collect()
         cents = {int(r["list_id"]): list(r["c"]) for r in cents_rows}
         _CENTROID_CACHE[index_dir] = cents
-    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    vectors = _VECTORS_CACHE.get(index_dir)
+    if vectors is None:
+        vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+        _VECTORS_CACHE[index_dir] = vectors
     if query_vec is None:
         if query_vec_id is None:
             raise ValueError("need query_vec or query_vec_id")

@@ -48,3 +48,16 @@ def test_stopwords_matches_oracle(spark, duck):
     assert len(got) == len(expected) and got
     for a, b in zip(got, expected):
         assert a[:2] == b[:2] and abs(a[2] - b[2]) < 1e-9, (a, b)
+
+
+def test_top_terms_no_forced_vocab_broadcast(spark):
+    """The per-term df side is vocabulary-sized (10^8-10^9 rows on web
+    text): a forced broadcast hint on it is a scale-killer (driver
+    collect + per-executor copy, bypassing AQE's size check). The plan
+    must carry exactly ONE broadcast hint — the single-row n_docs
+    cross join — leaving the term join's strategy to AQE."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    analyzed = top_terms(docs, k=5)._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("UnresolvedHint") + analyzed.count(
+        "ResolvedHint"
+    ) == 1, analyzed
