@@ -18,6 +18,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
@@ -284,8 +286,59 @@ FROM bands a JOIN bands b
 """
 
 
+#: edge-count cutoff below which dup_clusters solves connected
+#: components ON THE DRIVER instead of running the distributed
+#: label-propagation loop. The candidate-pair table is already ≪ corpus
+#: (LSH output); below this bound it is broadcast-class data (2 longs ×
+#: 5M ≈ 80 MB — the same scale Spark happily collects for a broadcast
+#: join), and the iterative loop's cost is pure fixed overhead: each
+#: round is ~5 shuffle stages over KB-sized tables, ~40 s of scheduling
+#: at local[32] for a graph union-find solves in <1 s. Web-scale edge
+#: sets (above the bound) keep the distributed loop unchanged.
+DRIVER_CC_MAX_EDGES = int(
+    os.environ.get("GLUG_CC_DRIVER_MAX_EDGES", "5000000")
+)
+
+
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Union-find (path compression, min-root) over a collected edge
+    list: (doc_id, cluster_id = min doc_id of the component), the same
+    fixpoint the distributed loop converges to — min over a set, no
+    ordering dependence."""
+    import pandas as pd
+
+    pdf = edges.toPandas()  # Arrow-backed; ≤ DRIVER_CC_MAX_EDGES rows
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["src"].to_list(), pdf["dst"].to_list()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    nodes = sorted(set(pdf["src"].to_list()))
+    out = pd.DataFrame(
+        {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]},
+        dtype="int64",
+    )
+    spark = edges.sparkSession
+    if out.empty:
+        return spark.createDataFrame([], "doc_id long, cluster_id long")
+    return spark.createDataFrame(out)
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 20,
-                 checkpoint_every: int = 4) -> DataFrame:
+                 checkpoint_every: int = 4,
+                 driver_max_edges: int | None = None) -> DataFrame:
     """(doc_id, cluster_id) — transitive near-dup CLUSTERS over candidate
     pairs: connected components, ``cluster_id`` = min doc_id in the
     component (the canonical survivor a training pipeline keeps).
@@ -317,10 +370,24 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
 
     Oracle (:func:`dup_clusters_sql`): DuckDB recursive CTE computing
     min reachable doc_id — the same fixpoint by definition.
+
+    ``driver_max_edges`` (default :data:`DRIVER_CC_MAX_EDGES`, 0
+    disables): edge sets at or below this count are solved driver-side
+    by :func:`_driver_components` — identical labels, none of the
+    per-round scheduling cost. The distributed loop is the scale path.
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.union(rev).distinct().cache()
+    if driver_max_edges is None:
+        driver_max_edges = DRIVER_CC_MAX_EDGES
+    if driver_max_edges:
+        n_edges = edges.count()  # materializes the cache either way
+        if n_edges <= driver_max_edges:
+            try:
+                return _driver_components(edges)
+            finally:
+                edges.unpersist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

@@ -452,6 +452,34 @@ _CENTROID_CACHE: dict[str, dict[int, list[float]]] = {}
 _VECTORS_CACHE: dict[str, DataFrame] = {}
 
 
+def _lookup_query_vec(index_dir: str, query_vec_id: int) -> list[float] | None:
+    """Driver-side query-vector fetch — NO Spark job. The old
+    ``vectors.where(vec_id == q).head()`` launched a full scan job per
+    probe (~0.5-0.6 s of pure scheduling at local[32]); a probe with
+    ``query_vec_id`` therefore paid TWO jobs. This reads the index's
+    parquet directly: pass 1 decodes ONLY the vec_id column (the
+    ``list_id`` hive key comes free from the directory name) to locate
+    the vector's list, pass 2 decodes ``v`` for just that list's files
+    filtered to the one row. Bit-identical to the Spark lookup — the
+    same parquet bytes decode to the same IEEE doubles either way."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    root = os.path.join(index_dir, "vectors")
+    hit = ds.dataset(root, format="parquet", partitioning="hive").to_table(
+        columns=["vec_id", "list_id"],
+        filter=ds.field("vec_id") == query_vec_id,
+    )
+    if hit.num_rows == 0:
+        return None
+    lid = hit.column("list_id")[0].as_py()
+    row = ds.dataset(
+        os.path.join(root, f"list_id={lid}"), format="parquet"
+    ).to_table(columns=["v"], filter=ds.field("vec_id") == query_vec_id)
+    return [float(x) for x in row.column("v")[0].as_py()]
+
+
 def ivf_topk_indexed(
     spark: SparkSession,
     index_dir: str,
@@ -465,7 +493,9 @@ def ivf_topk_indexed(
     The probed list ids are computed DRIVER-SIDE against the stored
     centroids (n_lists rows — metadata, cached per index_dir), so the
     vectors scan prunes to the probed partition directories before any
-    task launches. Results are rank-identical to :func:`ivf_topk_trained`
+    task launches. A ``query_vec_id`` probe resolves the query vector
+    driver-side too (:func:`_lookup_query_vec`), so the whole probe is
+    ONE Spark job. Results are rank-identical to :func:`ivf_topk_trained`
     with the same centroids (asserted by tests).
     """
     import os
@@ -484,12 +514,11 @@ def ivf_topk_indexed(
     if query_vec is None:
         if query_vec_id is None:
             raise ValueError("need query_vec or query_vec_id")
-        row = vectors.where(F.col("vec_id") == query_vec_id).select("v").head()
-        if row is None:
+        query_vec = _lookup_query_vec(index_dir, query_vec_id)
+        if query_vec is None:
             return spark.createDataFrame(
                 [], "rank int, vec_id long, sim double"
             )
-        query_vec = list(row["v"])
     q = [float(x) for x in query_vec]
 
     # the SAME sequential left-fold as _dot/_norm (and the oracle's

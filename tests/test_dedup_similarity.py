@@ -198,6 +198,27 @@ def test_ivf_indexed_rank_identical_and_pruned(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[.*list_id.* IN \(", plan), plan
 
 
+def test_ivf_query_vec_lookup_driver_side(spark, tmp_path):
+    """_lookup_query_vec (pyarrow, no Spark job) must return exactly the
+    vector the old Spark-side head() lookup returned, and None for an
+    absent vec_id (→ empty probe result)."""
+    from glug_spark.operators.ivf_centroids import CENTROIDS
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, CENTROIDS)
+    vectors = spark.read.parquet(f"{idx}/vectors")
+    for qid in (0, 7, 123):
+        want = list(
+            vectors.where(F.col("vec_id") == qid).select("v").head()["v"]
+        )
+        assert similarity._lookup_query_vec(idx, qid) == want, qid
+    assert similarity._lookup_query_vec(idx, 10**9) is None
+    assert similarity.ivf_topk_indexed(
+        spark, idx, query_vec_id=10**9, k=5
+    ).count() == 0
+
+
 def test_curate_docs_matches_audit_projection(spark):
     """curate_docs (full original columns, what build_index consumes)
     must keep exactly the doc set the audit projection reports."""
@@ -221,13 +242,35 @@ def test_dup_clusters_transitive_closure(spark):
          (20, 22), (21, 22)],         # star → cluster 20
         "doc_a long, doc_b long",
     )
-    got = {(r["doc_id"], r["cluster_id"])
-           for r in dup_clusters(pairs).collect()}
-    assert got == {
+    want = {
         (1, 1), (2, 1), (3, 1), (4, 1),
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+    # both paths: driver-side union-find (default below the edge-count
+    # cutoff) and the distributed label-propagation loop (cutoff 0)
+    got = {(r["doc_id"], r["cluster_id"])
+           for r in dup_clusters(pairs).collect()}
+    assert got == want
+    got_dist = {(r["doc_id"], r["cluster_id"])
+                for r in dup_clusters(pairs, driver_max_edges=0).collect()}
+    assert got_dist == want
+
+
+def test_dup_clusters_driver_path_matches_distributed(spark):
+    """The driver-side union-find fast path must produce EXACTLY the
+    distributed loop's labels on real LSH candidate pairs (the corpus
+    graph: chains, stars, and isolated pairs all present)."""
+    from glug_spark.operators.dedup import dup_clusters, dup_pairs_minhash
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dup_pairs_minhash(docs)
+    fast = {(r["doc_id"], r["cluster_id"])
+            for r in dup_clusters(pairs).collect()}
+    dist = {(r["doc_id"], r["cluster_id"])
+            for r in dup_clusters(pairs, driver_max_edges=0).collect()}
+    assert fast == dist
+    assert fast  # the corpus does contain near-dups
 
 
 def test_dup_clusters_empty(spark):
@@ -251,7 +294,8 @@ def test_dup_clusters_long_chain_beyond_naive_iter_bound(spark):
         "doc_a long, doc_b long",
     )
     got = {(r["doc_id"], r["cluster_id"])
-           for r in dup_clusters(pairs, max_iter=20).collect()}
+           for r in dup_clusters(pairs, max_iter=20,
+                                 driver_max_edges=0).collect()}
     assert got == {(100 + i, 100) for i in range(n)}
 
 
@@ -267,7 +311,7 @@ def test_dup_clusters_raises_on_non_convergence(spark):
         "doc_a long, doc_b long",
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dup_clusters(pairs, max_iter=2)
+        dup_clusters(pairs, max_iter=2, driver_max_edges=0)
 
 
 def test_dedup_apply_fuzzy_differential(spark):
