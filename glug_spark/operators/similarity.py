@@ -403,13 +403,71 @@ FROM topk
 """
 
 
+def _assign_map(
+    centroids: list[list[float]], dim: int
+) -> "Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]":
+    """mapInArrow worker: (vec_id, v) batches → (vec_id, v, list_id)
+    nearest-centroid rows — the build-side twin of :func:`_assigned`.
+
+    The in-plan formulation evaluates n_lists interpreted sequential
+    folds per vector (transform/aggregate lambdas are CodegenFallback);
+    at 128 lists × 64 dims that is the dominant cost of an IVF build.
+    Here the SAME folds run vectorized: the accumulator loops iterate
+    dimensions in order (``dot += v_d·c_d``, ``nv += v_d²``), so every
+    (vector, centroid) accumulator evolves through the identical
+    sequence of IEEE-double operations as the JVM fold, and the csim
+    grouping ``dot / (norm_v · norm_c)`` matches term for term.
+    ``np.argmax``'s first-max rule reproduces ``max(struct(csim,
+    -list_id))`` — lowest list_id on ties, and the lowest-indexed NaN
+    entry in the NaN corner (Spark orders NaN greatest) — so the
+    assignment is bit-identical (asserted by a full-corpus differential
+    test). A dim-mismatched vector raises, like :func:`_band_keys_map`.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    C = np.asarray(centroids, dtype=np.float64)  # (n_lists, dim)
+    acc_c = np.zeros(C.shape[0], dtype=np.float64)
+    for d in range(dim):
+        acc_c += C[:, d] * C[:, d]
+    nc = np.sqrt(acc_c)
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            v = batch.column("v")
+            lens = pc.list_value_length(v).to_numpy(zero_copy_only=False)
+            bad = np.flatnonzero(lens != dim)
+            if len(bad):
+                vid = batch.column("vec_id")[int(bad[0])].as_py()
+                raise ValueError(f"embedding dim != {dim} for vec_id {vid}")
+            V = v.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+            dot = np.zeros((n, C.shape[0]), dtype=np.float64)
+            nv = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                dot += V[:, d][:, None] * C[:, d][None, :]
+                nv += V[:, d] * V[:, d]
+            csim = dot / (np.sqrt(nv)[:, None] * nc[None, :])
+            lid = np.argmax(csim, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), v, pa.array(lid, type=pa.int32())],
+                ["vec_id", "v", "list_id"],
+            )
+
+    return run
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     out_dir: str,
     centroids: list[list[float]],
 ) -> dict:
     """Persist an IVF index: vectors assigned to their nearest centroid
-    (shuffle-free in-row argmax) and written ``partitionBy(list_id)`` —
+    (shuffle-free in-row argmax, vectorized in Arrow — bit-identical to
+    the in-plan :func:`_assigned`) and written ``partitionBy(list_id)`` —
     the vector-side mirror of the inverted index's bucketed layout. A
     probe then reads ONLY the probed lists' partition directories
     (PartitionFilters, asserted by plan tests), i.e. n_probe/n_lists of
@@ -423,7 +481,33 @@ def build_ivf_index(
         "list_id int, c array<double>",
     )
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    assigned = _assigned(emb, _cent_array(cents))
+    assigned = emb.mapInArrow(
+        _assign_map(centroids, len(centroids[0])),
+        "vec_id long, v array<double>, list_id int",
+    )
+    # small-index file consolidation (guide §6), the vector-side mirror
+    # of index.pipeline.consolidate_for_bucket_write: N assignment tasks
+    # × partitionBy(list_id) otherwise write N×n_lists KB-sized files
+    # (measured 3.9k files / 8.3 s for 100k vectors × 128 lists; one
+    # file per list writes in ~2 s and every probe opens ~1 file per
+    # probed list instead of ~N). Deterministic keys (retry-safe); at
+    # scale (est ≥ cores × 256 MB) the zero-shuffle write stands.
+    from glug_spark.index.pipeline import CONSOLIDATE_BYTES_PER_CORE
+
+    par = spark.sparkContext.defaultParallelism
+    try:
+        est: int | None = int(
+            assigned._jdf.queryExecution().optimizedPlan()
+            .stats().sizeInBytes()
+        )
+    except Exception:
+        est = None
+    if est is not None and est < par * CONSOLIDATE_BYTES_PER_CORE:
+        n_out = max(par, len(centroids))
+        k = max(1, n_out // len(centroids))
+        assigned = assigned.repartition(
+            n_out, F.col("list_id"), F.pmod(F.xxhash64("vec_id"), F.lit(k))
+        )
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(out_dir, "vectors")
     )

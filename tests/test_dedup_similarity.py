@@ -198,6 +198,35 @@ def test_ivf_indexed_rank_identical_and_pruned(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[.*list_id.* IN \(", plan), plan
 
 
+def test_ivf_arrow_assignment_matches_jvm(spark):
+    """The Arrow build-side nearest-centroid kernel (_assign_map) must
+    assign EVERY vector to the same list as the in-plan JVM fold
+    (_assigned) — same IEEE operation sequence, same argmax tie rule."""
+    from glug_spark.operators.ivf_centroids import CENTROIDS
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(CENTROIDS)],
+        "list_id int, c array<double>",
+    )
+    jvm = {
+        r["vec_id"]: r["list_id"]
+        for r in similarity._assigned(
+            emb, similarity._cent_array(cents)
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["list_id"]
+        for r in emb.mapInArrow(
+            similarity._assign_map(CENTROIDS, len(CENTROIDS[0])),
+            "vec_id long, v array<double>, list_id int",
+        ).collect()
+    }
+    assert arrow == jvm
+
+
 def test_ivf_query_vec_lookup_driver_side(spark, tmp_path):
     """_lookup_query_vec (pyarrow, no Spark job) must return exactly the
     vector the old Spark-side head() lookup returned, and None for an
