@@ -756,6 +756,76 @@ def _band_keys_map(
     return run
 
 
+def _verify_cosine_map(
+    threshold: float, dim: int
+) -> "Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]":
+    """mapInArrow worker: (vec_a, vec_b, va, vb) candidate batches →
+    (vec_a, vec_b, raw_sim) for pairs that can possibly pass the
+    rounded threshold.
+
+    The JVM formulation ran one interpreted zip_with/aggregate cosine
+    fold PER CANDIDATE PAIR (7.1M candidates × 64 dims at the bench
+    geometry ≈ the dominant cost of the LSH pass after the sign-bit
+    kernel). The accumulator loops here iterate dimensions in order
+    (``dot += a_d·b_d``, ``na += a_d²``, ``nb += b_d²``) and divide with
+    the same grouping ``dot / (√na · √nb)``, so ``raw_sim`` is
+    bit-identical to the JVM fold; the exact ``round(·, 6) >= threshold``
+    decision stays in the JVM on the kernel's output (numpy rounds
+    half-even, Spark half-up — so rounding is NOT reproduced here).
+    The kernel only pre-filters with a provably safe margin:
+    ``round(x, 6) >= t`` implies ``x >= t − 5·10⁻⁷``, so dropping
+    ``raw_sim < t − 10⁻⁶`` can never drop a passing pair. NaN sims are
+    KEPT — Spark and DuckDB both order NaN above every double, so the
+    JVM filter keeps them too."""
+    import numpy as np
+    import pyarrow as pa
+
+    margin = threshold - 1e-6
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            A = (
+                batch.column("va").flatten()
+                .to_numpy(zero_copy_only=False).reshape(n, dim)
+            )
+            B = (
+                batch.column("vb").flatten()
+                .to_numpy(zero_copy_only=False).reshape(n, dim)
+            )
+            dot = np.zeros(n, dtype=np.float64)
+            na = np.zeros(n, dtype=np.float64)
+            nb = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                dot += A[:, d] * B[:, d]
+                na += A[:, d] * A[:, d]
+                nb += B[:, d] * B[:, d]
+            raw = dot / (np.sqrt(na) * np.sqrt(nb))
+            keep = (raw >= margin) | np.isnan(raw)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        batch.column("vec_a").to_numpy(zero_copy_only=False)[
+                            keep
+                        ],
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        batch.column("vec_b").to_numpy(zero_copy_only=False)[
+                            keep
+                        ],
+                        type=pa.int64(),
+                    ),
+                    pa.array(raw[keep], type=pa.float64()),
+                ],
+                ["vec_a", "vec_b", "raw_sim"],
+            )
+
+    return run
+
+
 def embedding_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.99,
@@ -814,16 +884,29 @@ def embedding_dup_pairs_lsh(
     )
 
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    # SHUFFLE_HASH on the vectors side: sort-merge would SORT the
+    # candidate-pair stream — 7.1M rows with a 64-double vector already
+    # attached by the first join (GBs of sort spill at the bench
+    # geometry) — when hashing the per-partition slice of the (much
+    # smaller) vectors table joins the same rows with no sort at all.
+    # Join semantics unchanged; strategy only.
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    joined = (
+        cand.join(va.hint("shuffle_hash"), "vec_a")
+        .join(vb.hint("shuffle_hash"), "vec_b")
+        .select("vec_a", "vec_b", "va", "vb")
+    )
+    # vectorized cosine per candidate (bit-identical raw fold, safe
+    # margin pre-filter — see _verify_cosine_map); the EXACT half-up
+    # round + threshold decision stays in the JVM
+    raw = joined.mapInArrow(
+        _verify_cosine_map(threshold, dim),
+        schema="vec_a long, vec_b long, raw_sim double",
+    )
     verified = (
-        cand.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
-        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
-        .select(
-            "vec_a", "vec_b",
-            F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb"))),
-                6,
-            ).alias("sim"),
+        raw.select(
+            "vec_a", "vec_b", F.round("raw_sim", 6).alias("sim")
         )
         .where(F.col("sim") >= threshold)
     )
