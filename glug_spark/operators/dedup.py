@@ -172,24 +172,160 @@ def _minhash_partial_map(
     return run
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
-                       shingle: int = SHINGLE) -> DataFrame:
-    """(doc_id, h0..h{n-1} bigint) — minhash via the standard universal
-    hashing family: ONE md5 per shingle (first 15 hex chars → 60-bit
-    int, mod P) and ``n_hashes`` cheap (a·h+b) mod P permutations,
-    aggregated with NUMERIC mins.
+#: per-executor shingle→base-hash cache (the shingle-level analog of
+#: :data:`_TOKEN_HASH_CACHE`): the oracle contract pins the base hash to
+#: md5(shingle), but head shingles (stopword n-grams) recur across every
+#: Arrow batch — caching makes the md5 cost proportional to NEW shingle
+#: strings, not batches × uniques.
+_SHINGLE_HASH_CACHE: dict[str, int] = {}
+_SHINGLE_HASH_CACHE_MAX = 4_000_000  # strings + one int each; bounded
 
-    Two generations of this kernel predate the current one: the
-    per-seed ``min(md5('<seed>|' || shingle))`` form cost n_hashes md5s
-    per shingle occurrence (480 s / 100k docs); the all-JVM numeric
-    form (one md5, 128 ``min((h·a+b) % P)`` agg expressions) measured
-    ~45 s — the 128 projection+agg-update expressions per shingle row
-    dominated the whole fuzzy-dedup pipeline. The permutations and the
-    map-side min now run vectorized in Arrow (guide §4.2): one
-    (batch × 128) int64 matrix op + segmented reduceat per batch, then
-    a final groupBy-min over ~n_docs partial rows. Values are
-    bit-identical (same integer math, min is order-free); the oracle
-    SQL is unchanged."""
+
+def _shingle_hashes(uniques: "list[str]") -> "np.ndarray":
+    """md5-derived base hashes for UNIQUE shingle strings — identical
+    integer per string to the JVM expression
+    ``pmod(conv(substring(md5(s), 1, 15), 16, 10), P)``: first 15 hex
+    chars = a 60-bit non-negative int, so Python ``int(hex, 16) % P``
+    computes the same value with no sign games."""
+    import hashlib
+
+    cache = _SHINGLE_HASH_CACHE
+    md5 = hashlib.md5
+    get = cache.get
+    out = np.empty(len(uniques), dtype=np.int64)
+    for i, u in enumerate(uniques):
+        h = get(u)
+        if h is None:
+            h = int(md5(u.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+            cache[u] = h
+        out[i] = h
+    if len(cache) > _SHINGLE_HASH_CACHE_MAX:
+        cache.clear()
+    return out
+
+
+#: docs-count ceiling for the pre-kernel spread shuffle. A FILTERED
+#: slice of a big corpus (the fuzzy-curation shape: 100k docs selected
+#: out of 2M) occupies only the few input splits whose row groups
+#: survive predicate pushdown — ``getNumPartitions()`` still reports
+#: the full split count, so the split-count heuristic cannot see the
+#: starvation, and the fused kernel would run ~4-wide on a 32-core
+#: cluster (measured: 31 s vs 6 s). Below this bound the input is
+#: shuffle-class small (≤ ~1.3 GB of text) and one round-robin
+#: repartition to ``min(2·cores, n_docs/1000)`` costs seconds against
+#: the kernel's minutes; above it, inputs necessarily span many
+#: data-bearing splits and the zero-shuffle narrow path stands.
+MINHASH_SPREAD_MAX_DOCS = int(
+    os.environ.get("GLUG_MINHASH_SPREAD_MAX_DOCS", "1000000")
+)
+
+
+def _mod_p_inplace(m: np.ndarray) -> None:
+    """In-place ``m mod P`` for 0 ≤ m < 2^62, P = 2^31−1 (Mersenne):
+    two shift-and-add folds + one conditional subtract replace the
+    hardware 64-bit division ``%`` costs per element. Bounds: after
+    fold 1 m < 2^32, after fold 2 m ≤ P+1, the subtract lands m in
+    [0, P). Property-tested equal to ``%`` over the full input range."""
+    p = np.int64(MINHASH_P)
+    for _ in range(2):
+        hi = m >> np.int64(31)
+        m &= p
+        m += hi
+    np.subtract(m, p, out=m, where=m >= p)
+
+
+def _perm_mins(
+    h: np.ndarray, sdoc: np.ndarray, a: np.ndarray, b: np.ndarray,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-doc-run minima of the n_hashes permutations over shingle
+    base hashes ``h`` (doc index ``sdoc`` non-decreasing), computed
+    one PERMUTATION at a time: the working set per pass is the 1-D
+    ``m`` scratch (8·rows bytes — cache-resident for Arrow-batch-sized
+    inputs) instead of a (rows × n_hashes) matrix whose 8 read-write
+    passes are DRAM-bandwidth-bound (measured 3.2× on a 330k-row
+    batch; an earlier matrix form also peaked at ~2 GB × concurrent
+    tasks on 10k-DOC batches — memory thrash)."""
+    n_hashes = len(a)
+    starts = np.flatnonzero(np.diff(sdoc, prepend=sdoc[0] - 1))
+    out = np.empty((len(starts), n_hashes), dtype=np.int64)
+    m = np.empty(len(h), dtype=np.int64)
+    for i in range(n_hashes):
+        np.multiply(h, a[i], out=m)
+        m += b[i]
+        _mod_p_inplace(m)
+        out[:, i] = np.minimum.reduceat(m, starts)
+    return sdoc[starts], out
+
+
+def _minhash_text_map(
+    n_hashes: int, shingle: int,
+) -> "Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]":
+    """mapInArrow worker: (doc_id, text) batches → per-doc PARTIAL
+    signature minima, fused end to end. Tokenize with Arrow's RE2 split
+    (== ``regexp_extract_all('[\\p{L}\\p{N}_]+')`` after dropping empty
+    edge strings — the differential the simhash kernel already proved),
+    build k-gram strings with ``binary_join_element_wise`` over k
+    offset slices of the flat token array (masking starts whose k-th
+    token falls in the next doc), ``dictionary_encode`` so md5 runs
+    once per UNIQUE shingle (cache-amortized across batches), then the
+    (rows × n_hashes) permutation matrix + segmented
+    ``minimum.reduceat`` per doc run. Only (doc_id, text) cross the
+    JVM→Python boundary — the predecessor shipped one row per shingle
+    OCCURRENCE (21M rows / 100k webtext docs) through explode + JVM md5
+    + base-16 conv first."""
+    import pyarrow as pa
+
+    consts = _perm_consts(n_hashes)
+    a = np.array([c[0] for c in consts], dtype=np.int64)
+    b = np.array([c[1] for c in consts], dtype=np.int64)
+    names = ["doc_id"] + [f"h{i}" for i in range(n_hashes)]
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column("text")
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            splits = pc.split_pattern_regex(texts, _NONWORD_SPLIT)
+            flat = pc.list_flatten(splits)
+            parent = pc.list_parent_indices(splits)
+            keep = pc.not_equal(flat, "")
+            flat = pc.filter(flat, keep)
+            parent = pc.filter(parent, keep)
+            n_starts = len(flat) - shingle + 1
+            if n_starts <= 0:
+                continue
+            par_np = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+            valid = par_np[:n_starts] == par_np[shingle - 1:]
+            if not valid.any():
+                continue  # no doc has >= k tokens in this batch
+            pieces = [flat.slice(j, n_starts) for j in range(shingle)]
+            sh = pc.binary_join_element_wise(*pieces, " ")
+            sh = pc.filter(sh, pa.array(valid))
+            sdoc = par_np[:n_starts][valid]
+            dic = pc.dictionary_encode(sh)
+            codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            h = _shingle_hashes(dic.dictionary.to_pylist())[codes]
+            run_docs, mins = _perm_mins(h, sdoc, a, b)
+            arrays = [pa.array(doc_ids[run_docs], type=pa.int64())] + [
+                pa.array(np.ascontiguousarray(mins[:, i]), type=pa.int64())
+                for i in range(n_hashes)
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return run
+
+
+def _minhash_signatures_expr(docs: DataFrame, n_hashes: int = N_HASHES,
+                             shingle: int = SHINGLE) -> DataFrame:
+    """The previous-generation JVM-expression signature pipeline
+    (shingle explode → md5/conv per occurrence → Arrow partial mins) —
+    kept as the differential twin the fused kernel is tested
+    bit-identical against."""
     sh = _shingles(docs, shingle=shingle)
     h = F.pmod(
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
@@ -200,6 +336,42 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
     schema = ", ".join(["doc_id long"]
                        + [f"h{i} long" for i in range(n_hashes)])
     partial = base.mapInArrow(_minhash_partial_map(n_hashes), schema=schema)
+    aggs = [F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    return partial.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES,
+                       shingle: int = SHINGLE) -> DataFrame:
+    """(doc_id, h0..h{n-1} bigint) — minhash via the standard universal
+    hashing family: ONE md5 per shingle (first 15 hex chars → 60-bit
+    int, mod P) and ``n_hashes`` cheap (a·h+b) mod P permutations,
+    aggregated with NUMERIC mins.
+
+    Three generations of this kernel predate the current one: the
+    per-seed ``min(md5('<seed>|' || shingle))`` form cost n_hashes md5s
+    per shingle occurrence (480 s / 100k docs); the all-JVM numeric
+    form (one md5, 128 ``min((h·a+b) % P)`` agg expressions) measured
+    ~45 s; the half-Arrow form (JVM explode + md5 per occurrence →
+    Arrow permutation mins) ~23 s, dominated by materializing and
+    hashing one JVM row per shingle occurrence. The whole chain —
+    tokenize, shingle, md5 (once per UNIQUE shingle, cache-amortized),
+    permutations, map-side min — now runs fused in one ``mapInArrow``
+    pass over (doc_id, text) (guide §4.2), then a final groupBy-min
+    over ~n_docs partial rows. Values are bit-identical (same token
+    sequence, same md5-derived integers, min is order-free; differential
+    test vs :func:`_minhash_signatures_expr`); the oracle SQL is
+    unchanged."""
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    n = src.count()  # pushed-filter columnar count — one cheap job
+    if 0 < n <= MINHASH_SPREAD_MAX_DOCS:
+        src = src.repartition(min(2 * par, max(1, n // 1000)))
+    elif src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    schema = ", ".join(["doc_id long"]
+                       + [f"h{i} long" for i in range(n_hashes)])
+    partial = src.mapInArrow(_minhash_text_map(n_hashes, shingle),
+                             schema=schema)
     aggs = [F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
     return partial.groupBy("doc_id").agg(*aggs)
 

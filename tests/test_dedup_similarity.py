@@ -518,3 +518,53 @@ def test_simhash_arrow_tokenizer_matches_python_re(spark):
         )
     for i, t in enumerate(texts):
         assert got[i] == ref_simhash(t), (i, t)
+
+
+def test_minhash_fused_kernel_matches_expr_pipeline(spark):
+    """The fused Arrow signature kernel (tokenize + shingle + md5 +
+    permutation mins in one mapInArrow pass) must be BIT-IDENTICAL to
+    the JVM-expression pipeline it replaced — every (doc_id, h0..h127)
+    row — on the real corpus AND on edge-case texts (short docs below
+    the shingle width, empty/null text, CRLF/trailing whitespace,
+    unicode, repeated shingles)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (1000001, "one two"),                       # < k tokens
+            (1000002, ""),                              # empty
+            (1000003, None),                            # null
+            (1000004, "a b\r\nc d\r\ne f   "),          # CRLF + trailing ws
+            (1000005, "héllo wörld 数据 表 scan mix"),   # unicode
+            (1000006, "the the the the the the"),       # repeated shingle
+            (1000007, "Term1 TERM1 term1 Term1 TERM1"), # case-sensitivity
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    fused = {r["doc_id"]: tuple(r)[1:]
+             for r in dedup.minhash_signatures(both).collect()}
+    expr = {r["doc_id"]: tuple(r)[1:]
+            for r in dedup._minhash_signatures_expr(both).collect()}
+    assert fused == expr
+    # docs below the shingle width have no signature row in either form
+    assert 1000001 not in fused and 1000003 not in fused
+
+
+def test_mod_p_inplace_equals_modulo():
+    """The division-free Mersenne fold must equal ``%`` over the whole
+    legal input range [0, 2^62): boundary values + a dense random
+    sweep (products a·h+b in the kernel never exceed 2^62)."""
+    import numpy as np
+
+    P = dedup.MINHASH_P
+    edge = np.array(
+        [0, 1, P - 1, P, P + 1, 2 * P, 2 * P + 1,
+         (1 << 31), (1 << 32) - 1, (1 << 62) - 1],
+        dtype=np.int64,
+    )
+    rng = np.random.default_rng(7)
+    rand = rng.integers(0, 1 << 62, size=200_000, dtype=np.int64)
+    for arr in (edge, rand):
+        m = arr.copy()
+        dedup._mod_p_inplace(m)
+        assert (m == arr % P).all()
