@@ -708,16 +708,48 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     candidate pairs (candidate-verify pattern: LSH recalls, Jaccard
     confirms). Jaccard over DISTINCT 3-gram shingles. ``cand``
     overrides the candidate set (e.g. :func:`all_shared_shingle_pairs`
-    for exhaustive ground truth)."""
+    for exhaustive ground truth).
+
+    Only docs that appear in a candidate pair are shingled: the verify
+    pass needs sets and sizes for CANDIDATE MEMBERS only (every output
+    row is a cand pair), so the corpus is semi-joined to the member
+    ids before the shingle explode + distinct — at LSH-typical
+    candidate rates that skips the expensive distinct-shingle shuffle
+    for the large non-duplicate majority. Join strategy is left to
+    AQE: the member set is runtime-sized (KBs at bench scale, possibly
+    corpus-class on pathological near-dup corpora), exactly the case
+    runtime stats decide better than a forced broadcast.
+
+    ``cand`` and the distinct shingle sets are each consumed by
+    SEVERAL branches of the plan (cand: member ids ×2 + the intersect
+    join; sets: both intersect sides + both size lookups) and Spark's
+    exchange reuse does not unify them across the union/self-join
+    aliases — measured, the un-materialized plan held 34 SortMergeJoins
+    and recomputed the LSH pipeline ~3× and the shingle distinct ~4×.
+    Both are ``localCheckpoint``-ed (eager), which is intra-query
+    materialization of candidate-scale intermediates, and the
+    intersect joins are hinted SHUFFLE_HASH so the (pair × shingle)
+    stream is never sorted (it only feeds a hash aggregation)."""
     if cand is None:
         cand = dup_pairs_minhash(docs)
-    sets_ = _shingles(docs).distinct()
+    cand = cand.localCheckpoint(eager=True)
+    members = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets_ = (
+        _shingles(docs.join(members, "doc_id", "left_semi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sets_.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     inter = (
-        cand.join(sets_.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        cand.join(sets_.alias("sa").hint("SHUFFLE_HASH"),
+                  F.col("doc_a") == F.col("sa.doc_id"))
         .join(
-            sets_.alias("sb"),
+            sets_.alias("sb").hint("SHUFFLE_HASH"),
             (F.col("doc_b") == F.col("sb.doc_id"))
             & (F.col("sa.shingle") == F.col("sb.shingle")),
         )
