@@ -50,11 +50,18 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return mat[slot < nbytes[:, None]].tobytes()
 
 
-def varbyte_decode(data: bytes) -> np.ndarray:
-    """Vectorized varbyte decode → uint64 array."""
-    if not data:
+def varbyte_decode(data: "bytes | np.ndarray") -> np.ndarray:
+    """Vectorized varbyte decode → uint64 array. Accepts a bytes blob
+    or an already-materialized uint8 array (e.g. a zero-copy slice of
+    an Arrow BinaryArray's values buffer); values are self-delimiting,
+    so a concatenation of independently-encoded streams decodes to the
+    concatenation of their values."""
+    if not len(data):
         return np.zeros(0, dtype=np.uint64)
-    raw = np.frombuffer(data, dtype=np.uint8)
+    raw = (
+        data if isinstance(data, np.ndarray)
+        else np.frombuffer(data, dtype=np.uint8)
+    )
     is_last = (raw & 0x80) == 0
     ends = np.flatnonzero(is_last)
     starts = np.concatenate(([0], ends[:-1] + 1))

@@ -213,12 +213,13 @@ def first_doc_col(gaps_col: "F.Column") -> "F.Column":
     return expr - F.lit(1).cast("long")
 
 
-def _make_purge_rewriter(
+def _make_purge_rewriter_rowwise(
     deleted: np.ndarray,
 ) -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
-    """mapInPandas worker for the purge rewrite: each posting row either
-    passes through byte-identical (no deleted doc in its range) or is
-    decoded, masked and re-encoded (dropped entirely when empty)."""
+    """The previous-generation per-row purge rewriter (decode → mask →
+    re-encode one posting row at a time) — kept as the differential
+    twin :func:`_make_purge_rewriter` is tested byte-identical
+    against."""
     from glug_spark.query.wand import _first_doc_id
 
     max_del = int(deleted[-1])
@@ -266,6 +267,148 @@ def _make_purge_rewriter(
                     **run,
                 })
             yield pd.DataFrame(out_rows, columns=cols)
+
+    return rewrite
+
+
+def _segmented_cumsum_abs(
+    deltas: np.ndarray, counts: np.ndarray,
+) -> np.ndarray:
+    """Vectorized delta→absolute decode with per-segment restart
+    (first delta of a segment = value0 + 1): one global uint64 cumsum,
+    then subtract each segment's prefix. Exact while the batch-wide
+    delta total stays below 2^64 — posting batches are ≤ ~10^4 runs of
+    ≤ ~10^7-range ids, orders of magnitude under the bound."""
+    c = np.cumsum(deltas, dtype=np.uint64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    prev = np.where(starts > 0, c[starts - 1], np.uint64(0))
+    return c - np.repeat(prev, counts) - np.uint64(1)
+
+
+def _binary_stream(arr: "object") -> "tuple[np.ndarray, np.ndarray]":
+    """(uint8 value stream, int64 per-row offsets) of an Arrow
+    BinaryArray, zero-copy: binary arrays store row values contiguously
+    in row order, so the sliced stream IS the concatenation of the
+    rows' blobs (varbyte values are self-delimiting, value counts per
+    row come from the schema's count columns)."""
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[offs[0]:offs[-1]], offs - offs[0]
+
+
+def _make_purge_rewriter(
+    deleted: np.ndarray,
+) -> "Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]":
+    """mapInArrow worker for the purge rewrite, batch-vectorized: each
+    posting row either passes through byte-identical (no deleted doc in
+    its range) or is masked and re-encoded (dropped entirely when
+    empty).
+
+    Two generations precede this one. The per-row rewriter decoded,
+    masked and re-encoded one posting row at a time — NumPy on tiny
+    slices, ~0.6 ms/row. A pandas-batch version vectorized the codec
+    work but still rode a JVM untouched/touched split whose two
+    branches each read and decoded the full postings parquet (the
+    first-doc varbyte cascade evaluated per row, twice) — the rewrite
+    leg measured 24.5 s vs 9.8 s for a pure read→write pass at the 2M
+    scale. Now EVERY row flows through one Arrow pass: blobs decode in
+    ONE vectorized varbyte pass each (zero-copy slices of the Arrow
+    value buffers; streams concatenate freely), the live-doc mask is
+    one searchsorted over the batch's postings, clean batches and
+    clean rows pass through as C-level filters of the input batch (no
+    Python per-row objects, no re-encode), and every surviving rewrite
+    row re-encodes through ONE :func:`codec.encode_runs_table` call
+    (term_codes = originating row index, so runs and block structure
+    restart exactly where the per-row encoder restarted them —
+    byte-identical output, differentially tested)."""
+    import pyarrow as pa
+
+    min_del = int(deleted[0])
+
+    def rewrite(
+        batches: "Iterator[pa.RecordBatch]",
+    ) -> "Iterator[pa.RecordBatch]":
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            if not n_rows:
+                continue
+            # block-metadata prune: a batch whose every run ends below
+            # the smallest tombstone cannot contain a deleted doc
+            bl = batch.column("block_last")
+            bo = np.frombuffer(bl.buffers()[1], dtype=np.int32)[
+                bl.offset : bl.offset + n_rows + 1
+            ].astype(np.int64)
+            bv = bl.values.to_numpy(zero_copy_only=False)
+            if bv[bo[1:] - 1].max() < min_del:
+                yield batch
+                continue
+            counts = batch.column("df_local").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            gaps_stream, _ = _binary_stream(batch.column("doc_gaps"))
+            all_gaps = codec.varbyte_decode(gaps_stream)
+            ids = _segmented_cumsum_abs(all_gaps, counts).astype(np.int64)
+            keep = not_deleted_mask(deleted, ids)
+            if keep.all():
+                yield batch
+                continue
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            kept_per_row = np.add.reduceat(keep.astype(np.int64), starts)
+            all_kept = kept_per_row == counts
+            rewrite_rows = ~all_kept & (kept_per_row > 0)
+
+            if all_kept.any():
+                yield batch.filter(pa.array(all_kept))
+            if not rewrite_rows.any():
+                continue
+            tfs_stream, _ = _binary_stream(batch.column("tfs"))
+            dls_stream, _ = _binary_stream(batch.column("dls"))
+            pos_stream, _ = _binary_stream(batch.column("positions"))
+            tfs = codec.varbyte_decode(tfs_stream).astype(np.int64)
+            dls = codec.varbyte_decode(dls_stream).astype(np.int64)
+            abs_pos = _segmented_cumsum_abs(
+                codec.varbyte_decode(pos_stream), tfs
+            )
+            row_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+            enc_mask = keep & rewrite_rows[row_of]
+            term_codes = row_of[enc_mask]
+            runs = codec.encode_runs_table(
+                term_codes,
+                ids[enc_mask],
+                tfs[enc_mask],
+                dls[enc_mask],
+                abs_pos[np.repeat(enc_mask, tfs)].astype(np.int64),
+            )
+            rstarts = runs["run_start"]
+            src_idx = pa.array(term_codes[rstarts], type=pa.int64())
+            cf = np.add.reduceat(tfs[enc_mask], rstarts)
+            lst = pa.list_(pa.int64())
+            built = {
+                "df_local": pa.array(runs["df_local"], type=pa.int64()),
+                "cf_local": pa.array(cf.astype(np.int64), type=pa.int64()),
+                "doc_gaps": pa.array(runs["doc_gaps"], type=pa.binary()),
+                "tfs": pa.array(runs["tfs"], type=pa.binary()),
+                "dls": pa.array(runs["dls"], type=pa.binary()),
+                "positions": pa.array(runs["positions"], type=pa.binary()),
+                "block_last": pa.array(runs["block_last"], type=lst),
+                "block_max_tf": pa.array(runs["block_max_tf"], type=lst),
+                "gap_offsets": pa.array(runs["gap_offsets"], type=lst),
+                "tf_offsets": pa.array(runs["tf_offsets"], type=lst),
+                "dl_offsets": pa.array(runs["dl_offsets"], type=lst),
+                "pos_offsets": pa.array(runs["pos_offsets"], type=lst),
+            }
+            arrays = [
+                built[f.name] if f.name in built
+                else pc.take(batch.column(f.name), src_idx)
+                for f in batch.schema
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=batch.schema)
 
     return rewrite
 
@@ -334,19 +477,14 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> dict:
     params = spark.read.parquet(os.path.join(index_dir, "params")).collect()[0]
     n_buckets = int(params["n_buckets"])
 
-    # --- 1. rewrite the postings (pruned: untouched rows never move
-    # through Python; rows entirely above the deleted range are pruned
-    # JVM-side by the first-doc predicate) -----------------------------
-    min_del = int(deleted[0])
-    max_del = int(deleted[-1])
-    touch = F.coalesce(
-        (F.try_element_at("block_last", F.lit(-1)) >= F.lit(min_del))
-        & (first_doc_col(F.col("doc_gaps")) <= F.lit(max_del)),
-        F.lit(False),
-    )
+    # --- 1. rewrite the postings in ONE pass: every row flows through
+    # the Arrow kernel, which passes clean batches/rows through as
+    # C-level filters and re-encodes only runs that actually contain a
+    # deleted doc. (The previous untouched/touched JVM split evaluated
+    # a 9-byte varbyte WHEN-cascade per row and read + decoded the full
+    # postings parquet TWICE — one branch per side of the split.) ------
     cols = [f.name for f in ENCODED_SCHEMA]
-    untouched = enc.where(~touch)
-    rewritten = enc.where(touch).mapInPandas(
+    rewritten = enc.select(cols).mapInArrow(
         _make_purge_rewriter(deleted), schema=ENCODED_SCHEMA
     )
     before = enc.count()
@@ -357,7 +495,7 @@ def purge_deletes(spark: SparkSession, index_dir: str) -> dict:
     )
 
     out_rows = consolidate_for_bucket_write(
-        untouched.select(cols).unionByName(rewritten.select(cols)),
+        rewritten,
         n_buckets=n_buckets,
         est_bytes=dir_bytes(src),
     )
