@@ -299,6 +299,40 @@ def _binary_stream(arr: "object") -> "tuple[np.ndarray, np.ndarray]":
     return data[offs[0]:offs[-1]], offs - offs[0]
 
 
+def _gather_rows(stream: np.ndarray, offs: np.ndarray,
+                 idx: np.ndarray) -> np.ndarray:
+    """Concatenation of the selected rows' byte slices of a blob
+    stream, fully vectorized (no per-row Python)."""
+    lens = offs[idx + 1] - offs[idx]
+    total = int(lens.sum())
+    if not total:
+        return np.zeros(0, dtype=np.uint8)
+    seg_starts = np.cumsum(lens) - lens
+    rel = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, lens)
+    return stream[np.repeat(offs[idx], lens) + rel]
+
+
+def _first_docs_vec(stream: np.ndarray, offs: np.ndarray,
+                    n_rows: int) -> np.ndarray:
+    """First doc_id of every encoded run in the batch — the leading
+    varbyte of each row's gap blob (first gap = doc_id + 1), decoded
+    for ALL rows at once: one masked pass per byte position, ≤ 10
+    passes for any int64. The NumPy twin of the retired JVM
+    ``first_doc_col`` WHEN-cascade."""
+    val = np.zeros(n_rows, dtype=np.uint64)
+    ptr = offs[:-1].copy()
+    active = np.ones(n_rows, dtype=bool)
+    shift = np.uint64(0)
+    while active.any():
+        idx = np.flatnonzero(active)
+        b = stream[ptr[idx]].astype(np.uint64)
+        val[idx] |= (b & np.uint64(0x7F)) << shift
+        ptr[idx] += 1
+        active[idx] = (b & np.uint64(0x80)) != 0
+        shift += np.uint64(7)
+    return val.astype(np.int64) - 1
+
+
 def _make_purge_rewriter(
     deleted: np.ndarray,
 ) -> "Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]":
@@ -337,57 +371,89 @@ def _make_purge_rewriter(
             n_rows = batch.num_rows
             if not n_rows:
                 continue
-            # block-metadata prune: a batch whose every run ends below
-            # the smallest tombstone cannot contain a deleted doc
+            # exact per-row prune on run bounds: a run can contain a
+            # deleted doc only if the sorted tombstone array has an
+            # entry inside [first_doc, last_doc] — one vectorized
+            # varbyte-head decode + one searchsorted over the batch.
+            # (A compacted index's runs span narrow doc-group windows,
+            # so at takedown-shaped contiguous deletes ~98% of rows
+            # skip the gap decode entirely.)
             bl = batch.column("block_last")
             bo = np.frombuffer(bl.buffers()[1], dtype=np.int32)[
                 bl.offset : bl.offset + n_rows + 1
             ].astype(np.int64)
             bv = bl.values.to_numpy(zero_copy_only=False)
-            if bv[bo[1:] - 1].max() < min_del:
+            last = bv[bo[1:] - 1]
+            if last.max() < min_del:
+                yield batch
+                continue
+            gaps_stream, offs_g = _binary_stream(batch.column("doc_gaps"))
+            first = _first_docs_vec(gaps_stream, offs_g, n_rows)
+            at = np.searchsorted(deleted, first)
+            cand = (at < len(deleted)) & (
+                deleted[np.minimum(at, len(deleted) - 1)] <= last
+            )
+            if not cand.any():
                 yield batch
                 continue
             counts = batch.column("df_local").to_numpy(
                 zero_copy_only=False
             ).astype(np.int64)
-            gaps_stream, _ = _binary_stream(batch.column("doc_gaps"))
-            all_gaps = codec.varbyte_decode(gaps_stream)
-            ids = _segmented_cumsum_abs(all_gaps, counts).astype(np.int64)
+            cidx = np.flatnonzero(cand)
+            c_counts = counts[cidx]
+            ids = _segmented_cumsum_abs(
+                codec.varbyte_decode(_gather_rows(gaps_stream, offs_g, cidx)),
+                c_counts,
+            ).astype(np.int64)
             keep = not_deleted_mask(deleted, ids)
             if keep.all():
                 yield batch
                 continue
-            ends = np.cumsum(counts)
-            starts = ends - counts
-            kept_per_row = np.add.reduceat(keep.astype(np.int64), starts)
-            all_kept = kept_per_row == counts
-            rewrite_rows = ~all_kept & (kept_per_row > 0)
+            c_ends = np.cumsum(c_counts)
+            c_starts = c_ends - c_counts
+            kept_per_row = np.add.reduceat(keep.astype(np.int64), c_starts)
+            c_all_kept = kept_per_row == c_counts
+            c_rewrite = ~c_all_kept & (kept_per_row > 0)
 
-            if all_kept.any():
-                yield batch.filter(pa.array(all_kept))
-            if not rewrite_rows.any():
+            pass_mask = ~cand
+            pass_mask[cidx[c_all_kept]] = True
+            if pass_mask.any():
+                yield batch.filter(pa.array(pass_mask))
+            if not c_rewrite.any():
                 continue
-            tfs_stream, _ = _binary_stream(batch.column("tfs"))
-            dls_stream, _ = _binary_stream(batch.column("dls"))
-            pos_stream, _ = _binary_stream(batch.column("positions"))
-            tfs = codec.varbyte_decode(tfs_stream).astype(np.int64)
-            dls = codec.varbyte_decode(dls_stream).astype(np.int64)
+            # decode tf/dl/position blobs for REWRITE rows only
+            ridx = cidx[c_rewrite]
+            r_counts = counts[ridx]
+            tfs_stream, offs_t = _binary_stream(batch.column("tfs"))
+            dls_stream, offs_d = _binary_stream(batch.column("dls"))
+            pos_stream, offs_p = _binary_stream(batch.column("positions"))
+            tfs = codec.varbyte_decode(
+                _gather_rows(tfs_stream, offs_t, ridx)
+            ).astype(np.int64)
+            dls = codec.varbyte_decode(
+                _gather_rows(dls_stream, offs_d, ridx)
+            ).astype(np.int64)
             abs_pos = _segmented_cumsum_abs(
-                codec.varbyte_decode(pos_stream), tfs
+                codec.varbyte_decode(_gather_rows(pos_stream, offs_p, ridx)),
+                tfs,
             )
-            row_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
-            enc_mask = keep & rewrite_rows[row_of]
-            term_codes = row_of[enc_mask]
+            # postings of the rewrite rows, sliced out of the cand-
+            # subset arrays (cidx and ridx are both ascending, so the
+            # row orders line up)
+            prow = np.repeat(c_rewrite, c_counts)
+            ids_r = ids[prow]
+            keep_r = keep[prow]
+            term_codes = np.repeat(ridx, r_counts)[keep_r]
             runs = codec.encode_runs_table(
                 term_codes,
-                ids[enc_mask],
-                tfs[enc_mask],
-                dls[enc_mask],
-                abs_pos[np.repeat(enc_mask, tfs)].astype(np.int64),
+                ids_r[keep_r],
+                tfs[keep_r],
+                dls[keep_r],
+                abs_pos[np.repeat(keep_r, tfs)].astype(np.int64),
             )
             rstarts = runs["run_start"]
             src_idx = pa.array(term_codes[rstarts], type=pa.int64())
-            cf = np.add.reduceat(tfs[enc_mask], rstarts)
+            cf = np.add.reduceat(tfs[keep_r], rstarts)
             lst = pa.list_(pa.int64())
             built = {
                 "df_local": pa.array(runs["df_local"], type=pa.int64()),
