@@ -74,6 +74,46 @@ def varbyte_decode(data: "bytes | np.ndarray") -> np.ndarray:
     return out
 
 
+def segmented_abs_decode(
+    deltas: np.ndarray, counts: np.ndarray,
+) -> np.ndarray:
+    """Vectorized delta→absolute decode with per-segment restart
+    (first delta of a segment = value0 + 1): one global uint64 cumsum,
+    then subtract each segment's prefix. Exact while the batch-wide
+    delta total stays below 2^64 — posting batches are ≤ ~10^4 runs of
+    ≤ ~10^7-range ids, orders of magnitude under the bound."""
+    c = np.cumsum(deltas, dtype=np.uint64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    prev = np.where(starts > 0, c[starts - 1], np.uint64(0))
+    return c - np.repeat(prev, counts) - np.uint64(1)
+
+
+def gather_segments(values: np.ndarray, starts: np.ndarray,
+                    lens: np.ndarray) -> np.ndarray:
+    """Concatenation of ``values[starts[i] : starts[i]+lens[i]]`` for
+    every segment i, fully vectorized (no per-segment Python)."""
+    total = int(lens.sum())
+    if not total:
+        return values[:0]
+    seg_starts = np.cumsum(lens) - lens
+    rel = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, lens)
+    return values[np.repeat(starts, lens) + rel]
+
+
+def binary_stream(arr: "object") -> "tuple[np.ndarray, np.ndarray]":
+    """(uint8 value stream, int64 per-row offsets) of an Arrow
+    BinaryArray, zero-copy: binary arrays store row values contiguously
+    in row order, so the sliced stream IS the concatenation of the
+    rows' blobs (varbyte values are self-delimiting, value counts per
+    row come from the schema's count columns)."""
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[offs[0]:offs[-1]], offs - offs[0]
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing ids → gaps (first gap = id0 + 1, all ≥ 1)."""
     ids = sorted_ids.astype(np.uint64)

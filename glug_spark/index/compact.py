@@ -95,6 +95,151 @@ def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
     }])
 
 
+def _group_starts(rows: "pa.RecordBatch") -> np.ndarray:
+    """Row indices where a new (bucket, term, grp) group begins, for
+    rows sorted by those keys (term compared via per-batch dictionary
+    codes — only adjacency matters)."""
+    import pyarrow.compute as pc
+
+    n = rows.num_rows
+    bucket = rows.column("bucket").to_numpy(zero_copy_only=False)
+    grp = rows.column("grp").to_numpy(zero_copy_only=False)
+    tcode = pc.dictionary_encode(
+        rows.column("term")
+    ).indices.to_numpy(zero_copy_only=False)
+    change = np.ones(n, dtype=bool)
+    change[1:] = (
+        (bucket[1:] != bucket[:-1]) | (grp[1:] != grp[:-1])
+        | (tcode[1:] != tcode[:-1])
+    )
+    return np.flatnonzero(change)
+
+
+def _merge_rows_arrow(rows: "pa.RecordBatch",
+                      names: "list[str]") -> "pa.RecordBatch":
+    """Merge every (bucket, term, grp) adjacent group of encoded runs
+    in ``rows`` (all groups complete) into ONE run each, vectorized:
+    all blobs decode in one varbyte pass per column (zero-copy Arrow
+    buffer slices), the merged doc order is one global lexsort on
+    (group, doc_id) — doc ids are unique within a group, a doc's
+    postings live in exactly one segment — per-doc position lists
+    follow their doc through a vectorized segment gather, and every
+    merged run re-encodes through ONE :func:`codec.encode_runs_table`
+    call (term_codes = group index, so run/block structure restarts
+    exactly where the per-group encoder restarted it — byte-identical,
+    differentially tested against :func:`_merge_term`)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    gstarts = _group_starts(rows)
+    counts = rows.column("df_local").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    gaps_s, _ = codec.binary_stream(rows.column("doc_gaps"))
+    tfs_s, _ = codec.binary_stream(rows.column("tfs"))
+    dls_s, _ = codec.binary_stream(rows.column("dls"))
+    pos_s, _ = codec.binary_stream(rows.column("positions"))
+    ids = codec.segmented_abs_decode(
+        codec.varbyte_decode(gaps_s), counts
+    ).astype(np.int64)
+    tfs = codec.varbyte_decode(tfs_s).astype(np.int64)
+    dls = codec.varbyte_decode(dls_s).astype(np.int64)
+    abs_pos = codec.segmented_abs_decode(
+        codec.varbyte_decode(pos_s), tfs
+    ).astype(np.int64)
+
+    change = np.zeros(rows.num_rows, dtype=bool)
+    change[gstarts] = True
+    row_group = np.cumsum(change) - 1
+    g_of_post = np.repeat(row_group, counts)
+    order = np.lexsort((ids, g_of_post))
+    tfs_o = tfs[order]
+    pos_starts = np.cumsum(tfs) - tfs
+    pos_merged = codec.gather_segments(abs_pos, pos_starts[order], tfs_o)
+    runs = codec.encode_runs_table(
+        g_of_post[order], ids[order], tfs_o, dls[order], pos_merged
+    )
+    cf = np.add.reduceat(tfs_o, runs["run_start"])
+    head = pa.array(gstarts, type=pa.int64())
+    n_groups = len(gstarts)
+    grp = rows.column("grp").to_numpy(zero_copy_only=False).astype(np.int64)
+    built = {
+        "bucket": pc.take(rows.column("bucket"), head),
+        "term": pc.take(rows.column("term"), head),
+        "segment": pa.array(grp[gstarts], type=pa.int64()),
+        "df_local": pa.array(runs["df_local"], type=pa.int64()),
+        "cf_local": pa.array(cf.astype(np.int64), type=pa.int64()),
+        "doc_gaps": pa.array(runs["doc_gaps"], type=pa.binary()),
+        "tfs": pa.array(runs["tfs"], type=pa.binary()),
+        "dls": pa.array(runs["dls"], type=pa.binary()),
+        "positions": pa.array(runs["positions"], type=pa.binary()),
+        "block_last": pa.array(runs["block_last"],
+                               type=pa.list_(pa.int64())),
+        "block_max_tf": pa.array(runs["block_max_tf"],
+                                 type=pa.list_(pa.int64())),
+        "gap_offsets": pa.array(runs["gap_offsets"],
+                                type=pa.list_(pa.int64())),
+        "tf_offsets": pa.array(runs["tf_offsets"],
+                               type=pa.list_(pa.int64())),
+        "dl_offsets": pa.array(runs["dl_offsets"],
+                               type=pa.list_(pa.int64())),
+        "pos_offsets": pa.array(runs["pos_offsets"],
+                                type=pa.list_(pa.int64())),
+        "lineage": pa.nulls(n_groups, type=rows.schema.field("lineage").type),
+        "n_docs_batch": pa.array(np.zeros(n_groups, np.int64),
+                                 type=pa.int64()),
+    }
+    arrays = [
+        built[n].cast(rows.schema.field(n).type)
+        if built[n].type != rows.schema.field(n).type else built[n]
+        for n in names
+    ]
+    return pa.RecordBatch.from_arrays(
+        arrays, schema=pa.schema([rows.schema.field(n) for n in names])
+    )
+
+
+def _make_merge_kernel(
+    names: "list[str]",
+) -> "Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]":
+    """mapInArrow worker: key-sorted encoded rows → one merged run per
+    (bucket, term, grp) group. Arrow batches split at arbitrary row
+    boundaries, so the tail group of each batch (possibly incomplete)
+    is CARRIED into the next batch; group size is bounded by the
+    segment count, so the carry stays small. Replaces a
+    groupBy.applyInPandas whose per-group pandas kernel paid ~0.5 ms
+    of Python per group — ~800k fragmented groups made the 2M-doc
+    compaction a 250 s Python loop."""
+
+    def merge(
+        batches: "Iterator[pa.RecordBatch]",
+    ) -> "Iterator[pa.RecordBatch]":
+        import pyarrow as pa
+
+        carry: "pa.RecordBatch | None" = None
+        for batch in batches:
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([
+                    pa.Table.from_batches([carry]),
+                    pa.Table.from_batches([batch]),
+                ]).combine_chunks()
+                batch = tbl.to_batches()[0]
+            carry = None
+            if not batch.num_rows:
+                continue
+            gstarts = _group_starts(batch)
+            if len(gstarts) == 1:
+                carry = batch  # one (possibly incomplete) group
+                continue
+            cut = int(gstarts[-1])
+            carry = batch.slice(cut)
+            yield _merge_rows_arrow(batch.slice(0, cut), names)
+        if carry is not None and carry.num_rows:
+            yield _merge_rows_arrow(carry, names)
+
+    return merge
+
+
 def read_segmap(spark: SparkSession, index_dir: str) -> "DataFrame | None":
     """The segment→grp map, or None if the index was never compacted."""
     path = os.path.join(index_dir, SEGMAP_DIR)
@@ -309,8 +454,18 @@ def compact_index(
     fragmented = enc_g.join(F.broadcast(tail), keys, "left_semi")
     untouched = enc_g.join(F.broadcast(tail), keys, "left_anti")
 
-    merged = fragmented.groupBy(*keys).applyInPandas(
-        _merge_term, schema=ENCODED_SCHEMA
+    # one explicit-width shuffle (exempt from AQE coalescing — the
+    # scorer-fan-out lesson) + in-partition key sort feeds the batch
+    # merge kernel; _merge_term (per-group pandas) is retained as its
+    # differential twin
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    merged = (
+        fragmented.repartition(n_shuffle, *keys)
+        .sortWithinPartitions(*keys)
+        .mapInArrow(
+            _make_merge_kernel([f.name for f in ENCODED_SCHEMA]),
+            schema=ENCODED_SCHEMA,
+        )
     )
 
     before = enc.count()

@@ -271,45 +271,17 @@ def _make_purge_rewriter_rowwise(
     return rewrite
 
 
-def _segmented_cumsum_abs(
-    deltas: np.ndarray, counts: np.ndarray,
-) -> np.ndarray:
-    """Vectorized delta→absolute decode with per-segment restart
-    (first delta of a segment = value0 + 1): one global uint64 cumsum,
-    then subtract each segment's prefix. Exact while the batch-wide
-    delta total stays below 2^64 — posting batches are ≤ ~10^4 runs of
-    ≤ ~10^7-range ids, orders of magnitude under the bound."""
-    c = np.cumsum(deltas, dtype=np.uint64)
-    ends = np.cumsum(counts)
-    starts = ends - counts
-    prev = np.where(starts > 0, c[starts - 1], np.uint64(0))
-    return c - np.repeat(prev, counts) - np.uint64(1)
-
-
-def _binary_stream(arr: "object") -> "tuple[np.ndarray, np.ndarray]":
-    """(uint8 value stream, int64 per-row offsets) of an Arrow
-    BinaryArray, zero-copy: binary arrays store row values contiguously
-    in row order, so the sliced stream IS the concatenation of the
-    rows' blobs (varbyte values are self-delimiting, value counts per
-    row come from the schema's count columns)."""
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-        arr.offset : arr.offset + len(arr) + 1
-    ].astype(np.int64)
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    return data[offs[0]:offs[-1]], offs - offs[0]
+#: shared zero-copy Arrow/varbyte batch helpers live in the codec
+#: (compaction's batch merge kernel uses the same primitives)
+_segmented_cumsum_abs = codec.segmented_abs_decode
+_binary_stream = codec.binary_stream
 
 
 def _gather_rows(stream: np.ndarray, offs: np.ndarray,
                  idx: np.ndarray) -> np.ndarray:
     """Concatenation of the selected rows' byte slices of a blob
     stream, fully vectorized (no per-row Python)."""
-    lens = offs[idx + 1] - offs[idx]
-    total = int(lens.sum())
-    if not total:
-        return np.zeros(0, dtype=np.uint8)
-    seg_starts = np.cumsum(lens) - lens
-    rel = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, lens)
-    return stream[np.repeat(offs[idx], lens) + rel]
+    return codec.gather_segments(stream, offs[idx], offs[idx + 1] - offs[idx])
 
 
 def _first_docs_vec(stream: np.ndarray, offs: np.ndarray,
