@@ -207,17 +207,55 @@ def python_bucket(term: str, n_buckets: int = 16) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
 
 
+#: Arrow RE2 tokenizer split class — splitting on runs of NON-word
+#: chars yields exactly re.findall(r"\w+")'s tokens after dropping the
+#: empty edge strings (the differential the simhash/minhash kernels
+#: already proved; re-proved for this encoder in
+#: tests/test_index_pipeline.py)
+_NONWORD_SPLIT = r"[^\p{L}\p{N}_]+"
+
+
+def _tokenize_factorize(
+    texts: "pd.Series",
+) -> "tuple[np.ndarray, np.ndarray, list[str]]":
+    """(per-doc token counts, dense term codes in token order, unique
+    terms in first-appearance order) — C-level end to end: Arrow RE2
+    split (no per-doc Python regex), ``dictionary_encode`` instead of
+    ``pd.factorize`` over a Python flatten (430M token STRING objects
+    per 2M-doc build). Codes and uniques are IDENTICAL to the
+    re.findall + factorize(sort=False) pair — both assign codes in
+    first-appearance order — so the encoded index bytes are unchanged
+    (differentially tested)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, from_pandas=True)
+    splits = pc.split_pattern_regex(arr, _NONWORD_SPLIT)
+    flat = pc.list_flatten(splits)
+    parent = pc.list_parent_indices(splits)
+    keep = pc.not_equal(flat, "")
+    flat = pc.filter(flat, keep)
+    parent = pc.filter(parent, keep)
+    par_np = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.bincount(par_np, minlength=len(texts)).astype(np.int64)
+    if not len(flat):
+        return counts, np.zeros(0, dtype=np.int64), []
+    dic = pc.dictionary_encode(flat)
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return counts, codes, dic.dictionary.to_pylist()
+
+
 def _encode_doc_batch(pdf: pd.DataFrame, segment: int, n_buckets: int,
-                      pat: "re.Pattern[str]", lineage: str = "") -> pd.DataFrame:
+                      lineage: str = "") -> pd.DataFrame:
     """One batch of documents → encoded posting rows (segment = batch id).
 
-    Tokenize (Python re, parity-tested against the JVM pattern), build
-    postings via lexsort + run-length, varbyte-encode in two vectorized
-    passes (codec.encode_runs). All O(tokens) work is NumPy.
+    Tokenize + factorize in Arrow (C-level, parity-tested against the
+    Python/JVM patterns), build postings via lexsort + run-length,
+    varbyte-encode in two vectorized passes (codec.encode_runs). All
+    O(tokens) work is NumPy/Arrow.
     """
     n_docs_batch = len(pdf)
-    token_lists = [pat.findall(t or "") for t in pdf["text"]]
-    counts = np.array([len(t) for t in token_lists], dtype=np.int64)
+    counts, codes, uniques = _tokenize_factorize(pdf["text"])
     total = int(counts.sum())
     if total == 0:
         return pd.DataFrame([], columns=[f.name for f in ENCODED_SCHEMA])
@@ -226,11 +264,6 @@ def _encode_doc_batch(pdf: pd.DataFrame, segment: int, n_buckets: int,
     dls = np.repeat(counts, counts)
     starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
-
-    flat_terms = pd.Series(
-        [t for lst in token_lists for t in lst], dtype="object"
-    )
-    codes, uniques = pd.factorize(flat_terms, sort=False)
 
     order = np.lexsort((pos, doc_ids, codes))
     codes_s, doc_s, pos_s, dls_s = (
@@ -287,10 +320,6 @@ def _make_partition_encoder(
     changed, re-encoded batches land in a fresh segment-id namespace
     and can never collide with a previous attempt's ids.
     """
-    import re as _re
-
-    pat = _re.compile(r"\w+", _re.UNICODE)
-
     def encode(
         batches: "Iterator[pd.DataFrame]",
     ) -> "Iterator[pd.DataFrame]":
@@ -307,7 +336,7 @@ def _make_partition_encoder(
                 continue
             segment = attempt * ATTEMPT_SPAN + pid * 100_000 + batch_no
             yield _encode_doc_batch(
-                pdf.drop(columns=["_file"]), segment, n_buckets, pat, lineage
+                pdf.drop(columns=["_file"]), segment, n_buckets, lineage
             )
 
     return encode

@@ -378,3 +378,46 @@ def test_adaptive_build_parallelism_on_single_split_input(spark, tmp_path):
     par = spark.sparkContext.defaultParallelism
     expected_min = min(2 * par, n // 1000)
     assert summary["segments"] >= expected_min, summary
+
+
+def test_arrow_tokenize_factorize_matches_re_factorize():
+    """The Arrow tokenize+factorize front end must produce IDENTICAL
+    (counts, codes, uniques) to the re.findall + pd.factorize pair it
+    replaced — dictionary_encode and factorize(sort=False) both assign
+    codes in first-appearance order, so the encoded index bytes are
+    unchanged. Edge cases: null/empty text, CRLF, unicode, punctuation
+    only, repeated terms — plus a real corpus slice."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from glug_spark.index.pipeline import _tokenize_factorize
+
+    pat = re.compile(r"\w+", re.UNICODE)
+
+    def ref(texts):
+        token_lists = [pat.findall(t or "") for t in texts]
+        counts = np.array([len(t) for t in token_lists], dtype=np.int64)
+        flat = pd.Series(
+            [t for lst in token_lists for t in lst], dtype="object"
+        )
+        if not len(flat):
+            return counts, np.zeros(0, dtype=np.int64), []
+        codes, uniques = pd.factorize(flat, sort=False)
+        return counts, codes.astype(np.int64), list(uniques)
+
+    edge = pd.Series([
+        "héllo wörld_1  ,, héllo", "...", "", None, "a_b-c d",
+        "数据 表 scan", "tab\tnewline\nmix 42", "x x x x",
+        "the\r\nend   ",
+    ])
+    corpus = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["text"]
+    )["text"]
+    for texts in (edge, corpus):
+        c1, k1, u1 = ref(texts)
+        c2, k2, u2 = _tokenize_factorize(texts.reset_index(drop=True))
+        assert np.array_equal(c1, c2)
+        assert np.array_equal(k1, k2)
+        assert u1 == u2
