@@ -145,3 +145,53 @@ def test_encode_runs_pos_offsets_match_encode_segment():
                     "block_max_tf", "gap_offsets", "tf_offsets",
                     "dl_offsets", "pos_offsets"):
             assert run[key] == single[key], key
+
+
+def test_segmented_abs_decode_matches_per_segment():
+    """Global cumsum-with-restart decode == per-segment delta_decode."""
+    rng = np.random.default_rng(5)
+    segs = []
+    for _ in range(20):
+        n = int(rng.integers(1, 50))
+        ids = np.unique(rng.integers(0, 10_000, n)).astype(np.uint64)
+        segs.append(ids)
+    deltas = np.concatenate([codec.delta_encode(s) for s in segs])
+    counts = np.array([len(s) for s in segs], dtype=np.int64)
+    got = codec.segmented_abs_decode(deltas, counts)
+    expect = np.concatenate(segs)
+    assert np.array_equal(got.astype(np.int64), expect.astype(np.int64))
+
+
+def test_gather_segments():
+    vals = np.arange(100, dtype=np.int64)
+    starts = np.array([10, 50, 0], dtype=np.int64)
+    lens = np.array([3, 0, 2], dtype=np.int64)
+    got = codec.gather_segments(vals, starts, lens)
+    assert got.tolist() == [10, 11, 12, 0, 1]
+    # all-empty selection yields an empty slice of the same dtype
+    empty = codec.gather_segments(vals, starts[:1], np.zeros(1, np.int64))
+    assert len(empty) == 0 and empty.dtype == vals.dtype
+
+
+def test_binary_stream_zero_copy_and_ndarray_decode():
+    """binary_stream must return exactly the concatenation of the rows'
+    blobs (including for a SLICED Arrow array with a nonzero offset),
+    and varbyte_decode must accept the resulting uint8 ndarray."""
+    import pyarrow as pa
+
+    blobs = [codec.varbyte_encode(np.array([v], dtype=np.uint64))
+             for v in (1, 300, 2**40, 7)]
+    arr = pa.array(blobs, type=pa.binary())
+    stream, offs = codec.binary_stream(arr)
+    assert bytes(stream.tobytes()) == b"".join(blobs)
+    assert offs[0] == 0 and offs[-1] == len(stream)
+    vals = codec.varbyte_decode(stream)
+    assert vals.tolist() == [1, 300, 2**40, 7]
+    # sliced array: offsets re-based to the slice
+    sl = arr.slice(1, 2)
+    s2, o2 = codec.binary_stream(sl)
+    assert bytes(s2.tobytes()) == b"".join(blobs[1:3])
+    assert o2[0] == 0 and o2[-1] == len(s2)
+    assert codec.varbyte_decode(s2).tolist() == [300, 2**40]
+    # empty ndarray input
+    assert len(codec.varbyte_decode(np.zeros(0, np.uint8))) == 0
